@@ -1,0 +1,91 @@
+"""Image sampling primitives — the TPU replacement for CUDA texture fetches.
+
+The reference samples images through bilinear-filtered texture objects
+(APD.cpp:687-734) and depth maps through integer-centered fetches
+(APD.cu:885, 2319). On TPU there is no texture unit; sampling is a gather.
+To keep gathers cheap we pre-pack each image into a (H*W, 4) "quad" layout
+holding the 2x2 bilinear footprint of every pixel, so one row-gather per
+sample replaces four scalar gathers (rows are the natural fast gather axis
+on TPU).
+
+Out-of-range coordinates clamp to the edge. (The reference configures wrap
+addressing but every cost path rejects out-of-image centers before sampling,
+so wrap vs clamp only affects window taps that stray past the border; clamp
+is the saner extrapolation and is what we standardize on.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_bilinear(img: jnp.ndarray) -> jnp.ndarray:
+    """Pack (H, W) -> (H*W, 4) rows [v00, v01, v10, v11] with clamped edges."""
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:, :], img[-1:, :]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    quad = jnp.stack([img, right, down, downright], axis=-1)
+    return quad.reshape(-1, 4)
+
+
+def bilinear_sample_packed(quad: jnp.ndarray, width: int, height: int, x, y):
+    """Bilinear sample from a pack_bilinear() layout. x, y any shape."""
+    x = jnp.clip(x, 0.0, width - 1.0)
+    y = jnp.clip(y, 0.0, height - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    idx = (y0.astype(jnp.int32) * width + x0.astype(jnp.int32))
+    v = jnp.take(quad, idx, axis=0)  # (..., 4)
+    top = v[..., 0] * (1.0 - fx[..., 0]) + v[..., 1] * fx[..., 0]
+    bot = v[..., 2] * (1.0 - fx[..., 0]) + v[..., 3] * fx[..., 0]
+    return top * (1.0 - fy[..., 0]) + bot * fy[..., 0]
+
+
+def bilinear_sample(img: jnp.ndarray, x, y):
+    """Bilinear sample directly from a (H, W) image (4 scalar gathers)."""
+    h, w = img.shape
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    flat = img.reshape(-1)
+    v00 = jnp.take(flat, y0i * w + x0i)
+    v01 = jnp.take(flat, y0i * w + x1i)
+    v10 = jnp.take(flat, y1i * w + x0i)
+    v11 = jnp.take(flat, y1i * w + x1i)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def texel_fetch(img: jnp.ndarray, x, y):
+    """Integer pixel fetch at truncated coordinates with clamped edges —
+    the reference's `tex2D(img, (int)x + 0.5, (int)y + 0.5)` idiom used for
+    depth-map lookups (APD.cu:885, 2319)."""
+    h, w = img.shape
+    xi = jnp.clip(x.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(y.astype(jnp.int32), 0, h - 1)
+    return jnp.take(img.reshape(-1), yi * w + xi)
+
+
+def fetch(arr: jnp.ndarray, xi, yi, fill=0):
+    """Integer fetch from a 2-D (or 2-D + trailing dims) array with
+    out-of-bounds fill."""
+    h, w = arr.shape[:2]
+    inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    xic = jnp.clip(xi, 0, w - 1)
+    yic = jnp.clip(yi, 0, h - 1)
+    flat = arr.reshape((h * w,) + arr.shape[2:])
+    v = jnp.take(flat, yic * w + xic, axis=0)
+    if arr.ndim > 2:
+        inb = inb.reshape(inb.shape + (1,) * (arr.ndim - 2))
+    return jnp.where(inb, v, jnp.asarray(fill, arr.dtype))

@@ -1,0 +1,185 @@
+"""Deformable (anchor-based) NCC for weak-texture pixels.
+
+TPU formulation of the reference's ComputeBilateralNCCNew (APD.cu:448-593):
+a weak pixel's cost against a source view aggregates NCC over up to 9
+anchors — anchor 0 is the pixel itself with the dense strong window, anchors
+1..8 are distant strong supports with sparse windows — all warped by the
+*candidate plane's* homography, combined with a focal softmax weighting so
+bad anchors dominate, then blended 0.25*center + 0.75*strong.
+
+All reference-side quantities (anchor positions, tap values, SA gating,
+window sums) depend only on the pixel, so `WeakRefData.build` hoists them out
+of the per-candidate/per-view loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from ..core.sampling import bilinear_sample_packed, fetch
+from . import cost as cost_ops
+from .cost import COST_MAX, CostData, MIN_VAR, RefWindow
+
+
+class WeakRefData(NamedTuple):
+    """Pixel-batch precomputation for deformable NCC (B weak pixels)."""
+
+    x: jnp.ndarray            # (B,) f32 pixel coords
+    y: jnp.ndarray
+    center_win: RefWindow     # strong square window at the pixel (SA-gated taps)
+    anchor_x: jnp.ndarray     # (B, 8) f32, -1 where invalid
+    anchor_y: jnp.ndarray     # (B, 8)
+    anchor_valid: jnp.ndarray  # (B, 8) bool (exists + same SA segment)
+    anchor_sel: jnp.ndarray   # (B, 8, S) bool: selected_views at the anchor
+    tap_val: jnp.ndarray      # (B, 8, T) ref values around anchors
+    tap_w: jnp.ndarray        # (B, 8, T) SA-gated weights
+    sum_ref: jnp.ndarray      # (B, 8)
+    sum_rr: jnp.ndarray       # (B, 8)
+    wsum: jnp.ndarray         # (B, 8)
+
+    @staticmethod
+    def build(data: CostData, x, y, anchors, selected, params) -> "WeakRefData":
+        """anchors: (B, 9, 2) int32 (x, y), -1 invalid; anchors[:, 0] is the
+        pixel itself. selected: (H, W, S) bool selected-views state."""
+        use_sa = bool(params.use_sa)
+        xi = x.astype(jnp.int32)
+        yi = y.astype(jnp.int32)
+
+        # center window: strong square taps with SA per-tap skip (no star,
+        # no truncation — NCC-New `continue` semantics, APD.cu:523-541)
+        sq = jnp.asarray(cost_ops.square_taps(params.strong_radius,
+                                              params.strong_increment))
+        cdx = jnp.broadcast_to(sq[None, :, 0], x.shape + (sq.shape[0],))
+        cdy = jnp.broadcast_to(sq[None, :, 1], x.shape + (sq.shape[0],))
+        center_sa = fetch(data.sa_mask, xi, yi)
+        in_seg = (center_sa > 0) if use_sa else jnp.zeros_like(center_sa, bool)
+
+        def sa_weights(tx, ty):
+            if not use_sa:
+                return jnp.ones(tx.shape, jnp.float32)
+            tap_sa = fetch(data.sa_mask, tx, ty)
+            keep = ~in_seg.reshape(in_seg.shape + (1,) * (tx.ndim - 1)) \
+                | (tap_sa == center_sa.reshape(
+                    center_sa.shape + (1,) * (tx.ndim - 1)))
+            return keep.astype(jnp.float32)
+
+        ctx = xi[..., None] + cdx
+        cty = yi[..., None] + cdy
+        cw = sa_weights(ctx, cty)
+        cval = cost_ops._clamped_fetch(data.ref_image, ctx, cty)
+        center_win = RefWindow(
+            cdx.astype(jnp.float32), cdy.astype(jnp.float32), cval, cw,
+            (cw * cval).sum(-1), (cw * cval * cval).sum(-1), cw.sum(-1))
+
+        ax = anchors[..., 1:, 0]
+        ay = anchors[..., 1:, 1]
+        exists = (ax >= 0) & (ay >= 0)
+        axc = jnp.maximum(ax, 0)
+        ayc = jnp.maximum(ay, 0)
+        if use_sa:
+            a_sa = fetch(data.sa_mask, axc, ayc)
+            sa_ok = ~in_seg[..., None] | (a_sa == center_sa[..., None])
+        else:
+            sa_ok = jnp.ones_like(exists)
+        valid = exists & sa_ok
+
+        sel = fetch(selected, axc, ayc)          # (B, 8, S)
+
+        wk = jnp.asarray(cost_ops.square_taps(params.weak_radius,
+                                              params.weak_increment))
+        tx = axc[..., None] + wk[None, None, :, 0]
+        ty = ayc[..., None] + wk[None, None, :, 1]
+        tw = sa_weights(tx, ty)
+        tval = cost_ops._clamped_fetch(data.ref_image, tx, ty)
+        return WeakRefData(
+            x=x, y=y, center_win=center_win,
+            anchor_x=ax.astype(jnp.float32), anchor_y=ay.astype(jnp.float32),
+            anchor_valid=valid, anchor_sel=sel,
+            tap_val=tval, tap_w=tw,
+            sum_ref=(tw * tval).sum(-1), sum_rr=(tw * tval * tval).sum(-1),
+            wsum=tw.sum(-1))
+
+
+def _softmax_weighted(costs, mask):
+    """Focal weighting: softmax over contributing anchor costs times the costs
+    (reference: Softmax + weighted sum, APD.cu:431-446, 576-585)."""
+    neg = jnp.where(mask, costs, -jnp.inf)
+    m = jnp.max(neg, axis=-1, keepdims=True)
+    e = jnp.where(mask, jnp.exp(costs - m), 0.0)
+    denom = e.sum(-1)
+    strong_cost = jnp.where(denom > 0, (e * costs).sum(-1) / jnp.maximum(denom, 1e-30), 0.0)
+    return jnp.minimum(strong_cost, COST_MAX)
+
+
+def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
+                       params):
+    """Deformable NCC of one plane per pixel against one source view. (B,)"""
+    src_cam = data.src_cams.view(src_index)
+    quad = data.src_quads[src_index]
+    H = geo.homography(data.ref_cam, src_cam, plane)
+    x, y = wref.x, wref.y
+    cx, cy = geo.warp(H, x, y)
+    center_oob = (cx < 0) | (cx >= data.width) | (cy < 0) | (cy >= data.height)
+
+    # anchor 0 (the pixel) with the strong window
+    win = wref.center_win
+    T = win.tap_dx.shape[-1]
+
+    def tap_body(t, sums):
+        s_src, s_ss, s_rs = sums
+        wx, wy = geo.warp(H, x + win.tap_dx[..., t], y + win.tap_dy[..., t])
+        sv = bilinear_sample_packed(quad, data.width, data.height, wx, wy)
+        tw = win.tap_w[..., t]
+        rv = win.tap_val[..., t]
+        return (s_src + tw * sv, s_ss + tw * sv * sv, s_rs + tw * rv * sv)
+
+    zeros = jnp.zeros_like(x)
+    s_src, s_ss, s_rs = jax.lax.fori_loop(0, T, tap_body, (zeros, zeros, zeros))
+    center_cost = cost_ops.ncc_from_sums(
+        win.sum_ref, win.sum_rr, s_src, s_ss, s_rs, win.wsum)
+
+    # anchors 1..8 with sparse windows — one vectorized (B, 8, T') gather pass
+    awx, awy = geo.warp(H[..., None, :, :], wref.anchor_x, wref.anchor_y)
+    a_oob = (awx < 0) | (awx >= data.width) | (awy < 0) | (awy >= data.height)
+    wk = jnp.asarray(cost_ops.square_taps(params.weak_radius,
+                                          params.weak_increment))
+    tx = wref.anchor_x[..., None] + wk[None, None, :, 0]
+    ty = wref.anchor_y[..., None] + wk[None, None, :, 1]
+    wx, wy = geo.warp(H[..., None, None, :, :], tx, ty)
+    sv = bilinear_sample_packed(quad, data.width, data.height, wx, wy)
+    tw = wref.tap_w
+    s_src_a = (tw * sv).sum(-1)
+    s_ss_a = (tw * sv * sv).sum(-1)
+    s_rs_a = (tw * wref.tap_val * sv).sum(-1)
+    a_cost = cost_ops.ncc_from_sums(
+        wref.sum_ref, wref.sum_rr, s_src_a, s_ss_a, s_rs_a, wref.wsum)
+
+    # contribution rules (APD.cu:488-571): invalid anchors skip; anchors whose
+    # warp leaves the image contribute cost_max iff that anchor selected this
+    # src view; degenerate windows (wsum == 0) skip.
+    sel_here = wref.anchor_sel[..., src_index]
+    computable = wref.anchor_valid & ~a_oob & (wref.wsum > 0)
+    oob_counted = wref.anchor_valid & a_oob & sel_here
+    contrib = computable | oob_counted
+    vals = jnp.where(computable, a_cost, COST_MAX)
+    strong_weight = contrib.sum(-1)
+    strong_cost = _softmax_weighted(vals, contrib)
+    cost = jnp.where(strong_weight > 0,
+                     0.25 * center_cost + 0.75 * strong_cost, center_cost)
+    return jnp.where(center_oob, COST_MAX, cost)
+
+
+def ncc_weak(data: CostData, wref: WeakRefData, plane, params) -> jnp.ndarray:
+    """Multi-view deformable NCC cost vector (B, S) for one plane per pixel
+    (reference: ComputeMultiViewCostVectorNew, APD.cu:809-818)."""
+
+    def body(s, _):
+        return s + 1, _per_view_ncc_weak(data, s, wref, plane, params)
+
+    _, costs = jax.lax.scan(body, 0, None, length=data.num_src)
+    return jnp.moveaxis(costs, 0, -1)

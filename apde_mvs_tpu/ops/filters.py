@@ -1,0 +1,285 @@
+"""Post-sweep per-view ops: plane conversion, median filter, reliability
+classification, confidence, local refine (reference: APD.cu:1694-2432).
+
+DepthToWeak / LocalRefine evaluate NCC sweeps per pixel; they accept flat
+pixel batches so the pipeline can chunk full-resolution images without
+materializing (H*W, 61) intermediates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RELIABLE_CURVE_SAMPLE_NUM, STRONG, UNKNOWN, WEAK
+from ..core import checkerboard as cb
+from ..core import geometry as geo
+from ..core.sampling import fetch, texel_fetch
+from .cost import COST_MAX, CostData, RefWindow, geom_cost, ncc_strong, \
+    precompute_ref_window
+from .state import PMState
+
+
+def planes_to_depth_normal(data: CostData, planes: jnp.ndarray) -> jnp.ndarray:
+    """Camera-frame plane hypotheses -> (world normal, depth-in-w) in place
+    (reference: GetDepthandNormal, APD.cu:1694-1709)."""
+    h, w, _ = planes.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    depth = geo.depth_from_plane(data.ref_cam, planes, xs.astype(jnp.float32),
+                                 ys.astype(jnp.float32))
+    world = geo.normal_cam_to_world(data.ref_cam.R, planes)
+    return world.at[..., 3].set(depth)
+
+
+def depth_normal_to_planes(data: CostData, depth: jnp.ndarray,
+                           normal_world: jnp.ndarray) -> jnp.ndarray:
+    """Inverse: (world normal, depth) maps -> camera-frame plane hypotheses
+    (reference: RandomInitialization REFINE path, APD.cu:939-947)."""
+    h, w = depth.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    n4 = jnp.concatenate([normal_world, depth[..., None]], -1)
+    cam_n = geo.normal_world_to_cam(data.ref_cam.R, n4)
+    wdist = geo.plane_dist_to_origin(
+        data.ref_cam, xs.astype(jnp.float32), ys.astype(jnp.float32), depth,
+        cam_n[..., :3])
+    return cam_n.at[..., 3].set(wdist)
+
+
+# Median-filter star neighborhood (reference: CheckerboardFilterStrong,
+# APD.cu:1711-1821): center + 20 STRONG-gated neighbors.
+_FILTER_OFFSETS = np.asarray([
+    (0, -1), (0, -3), (0, -5), (0, 1), (0, 3), (0, 5),
+    (-1, 0), (-3, 0), (-5, 0), (1, 0), (3, 0), (5, 0),
+    (2, -1), (2, 1), (-2, -1), (-2, 1),
+    (-1, -2), (1, -2), (-1, 2), (1, 2),
+], np.int32)
+
+
+def _masked_median(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Median over the valid entries along -1 (even count averages the two
+    middles, as in the reference's sort_small + index math)."""
+    big = jnp.where(valid, vals, jnp.inf)
+    s = jnp.sort(big, axis=-1)
+    n = valid.sum(-1)
+    mid = n // 2
+    lo = jnp.take_along_axis(s, jnp.maximum(mid - 1, 0)[..., None], -1)[..., 0]
+    hi = jnp.take_along_axis(s, mid[..., None], -1)[..., 0]
+    return jnp.where(n % 2 == 0, 0.5 * (lo + hi), hi)
+
+
+def median_filter_color(state: PMState, color: int) -> PMState:
+    """One color's depth median filter. Runs on depth-in-w planes (post
+    planes_to_depth_normal). Black then red, sequentially, as the reference
+    launches them."""
+    h, w = state.costs.shape
+    xs2, ys2 = cb.color_coords(h, w, color)
+    x = xs2.reshape(-1)
+    y = ys2.reshape(-1)
+    weak_c = cb.gather_color(state.weak, color).reshape(-1)
+    cost_c = cb.gather_color(state.costs, color).reshape(-1)
+    valid_c = cb.gather_color(state.valid, color).reshape(-1)
+    active = (weak_c != WEAK) & (cost_c >= 0.001) & valid_c
+
+    offs = jnp.asarray(_FILTER_OFFSETS)
+    nx = x[:, None] + offs[None, :, 0]
+    ny = y[:, None] + offs[None, :, 1]
+    inb = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
+    n_state = fetch(state.weak, nx, ny, fill=UNKNOWN)
+    n_depth = fetch(state.planes[..., 3], nx, ny)
+    ok = inb & (n_state == STRONG)
+    center_d = fetch(state.planes[..., 3], x, y)
+    vals = jnp.concatenate([center_d[:, None], n_depth], axis=1)
+    valid = jnp.concatenate([jnp.ones_like(center_d[:, None], bool), ok], axis=1)
+    med = _masked_median(vals, valid)
+    new_d = jnp.where(active, med, center_d)
+    planes = cb.scatter_color(
+        state.planes,
+        cb.gather_color(state.planes, color).at[..., 3].set(
+            new_d.reshape(h, w // 2)),
+        color)
+    return state.replace(planes=planes)
+
+
+def compute_confidence(data: CostData, state: PMState) -> PMState:
+    """Cross-view consistency confidence (reference: ConfidenceCompute,
+    APD.cu:2282-2344). Runs on depth-in-w planes."""
+    h, w = state.costs.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    xf = xs.astype(jnp.float32).reshape(-1)
+    yf = ys.astype(jnp.float32).reshape(-1)
+    depth = state.planes[..., 3].reshape(-1)
+    sel = state.selected.reshape(-1, data.num_src)
+    Xw = geo.backproject_world(data.ref_cam, xf, yf, depth)
+
+    def body(s, _):
+        src_cam = data.src_cams.view(s)
+        sx, sy, _sd = geo.project(src_cam, Xw)
+        src_depth = texel_fetch(data.src_depths[s], sx, sy)
+        exist = src_depth > 0.0
+        Xs = geo.backproject_world(src_cam, sx, sy, src_depth)
+        bx, by, bd = geo.project(data.ref_cam, Xs)
+        pix = jnp.sqrt((xf - bx) ** 2 + (yf - by) ** 2)
+        rel = jnp.abs(depth - bd) / jnp.maximum(depth, 1e-20)
+        score = jnp.where(exist,
+                          1.0 + 2.0 * (pix <= 2.0) + 2.0 * (rel <= 0.02), 0.0)
+        return s + 1, score
+
+    _, scores = jax.lax.scan(body, 0, None, length=data.num_src)
+    conf = 1.0 + jnp.where(sel, jnp.moveaxis(scores, 0, -1), 0.0).sum(-1)
+    conf = jnp.minimum(conf, 255.0).reshape(h, w)
+    bad = depth.reshape(h, w) <= 0.0
+    weak = jnp.where(bad, UNKNOWN, state.weak)
+    conf = jnp.where(bad, 0.0, conf)
+    return state.replace(confidence=conf, weak=weak)
+
+
+class _SweepSetup(NamedTuple):
+    ok: jnp.ndarray          # (B,) pixels with a usable setup
+    plane_cam: jnp.ndarray   # (B, 4) camera-frame plane (w = plane dist)
+    depth: jnp.ndarray       # (B,)
+    disp: jnp.ndarray        # (B,) current disparity f*B/d
+    base_line: jnp.ndarray   # (B,)
+    vw: jnp.ndarray          # (B, S) selection-gated view weights
+    wnorm: jnp.ndarray       # (B,)
+
+
+def _sweep_setup(data: CostData, state: PMState, x, y) -> _SweepSetup:
+    """Shared setup of the disparity sweeps (reference: APD.cu:2121-2157,
+    2356-2401): plane to camera frame, mean baseline of selected views,
+    selection-gated view weights."""
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    plane_world = fetch(state.planes, x, y)
+    plane_cam = geo.normal_world_to_cam(data.ref_cam.R, plane_world)
+    depth = plane_cam[..., 3]
+    sel = fetch(state.selected, x, y)
+    vw_all = fetch(state.view_weights, x, y)
+    vw = jnp.where(sel, vw_all, 0.0)
+    wnorm = vw.sum(-1)
+    dists = jnp.linalg.norm(data.ref_cam.c[None, :] - data.src_cams.c, axis=-1)
+    valid_src = sel.sum(-1)
+    base_line = jnp.where(sel, dists[None, :], 0.0).sum(-1) \
+        / jnp.maximum(valid_src, 1)
+    disp = data.ref_cam.fx * base_line / jnp.where(depth != 0, depth, 1.0)
+    ok = (depth != 0) & (valid_src > 0)
+    return _SweepSetup(ok, plane_cam, depth, disp, base_line, vw, wnorm)
+
+
+def _sweep_cost(data: CostData, setup: _SweepSetup, win: RefWindow, x, y,
+                p_depth, geom: bool, geom_factor, depth_min, depth_max):
+    """Weighted sweep cost at a probe depth (keeps the current normal)."""
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    n = setup.plane_cam[..., :3]
+    wdist = geo.plane_dist_to_origin(data.ref_cam, xf, yf, p_depth, n)
+    plane = jnp.concatenate([n, wdist[..., None]], -1)
+    cv = ncc_strong(data, xf, yf, plane, win)
+    if geom:
+        cv = cv + geom_factor * geom_cost(data, xf, yf, plane)
+    cost = (setup.vw * cv).sum(-1) / jnp.maximum(setup.wnorm, 1e-20)
+    cost = jnp.where(setup.wnorm > 0, cost, COST_MAX)
+    in_range = (p_depth >= depth_min) & (p_depth <= depth_max)
+    return jnp.where(in_range, cost, COST_MAX)
+
+
+def depth_to_weak(data: CostData, state: PMState, x, y, weak_peak_radius,
+                  use_sa: bool, geom: bool, geom_factor, depth_min, depth_max,
+                  strong_radius=5, strong_increment=2,
+                  return_curve: bool = False):
+    """Reliability classification for a pixel batch (reference: DepthToWeak,
+    APD.cu:2103-2250): sweep 61 one-pixel-disparity steps around the current
+    depth, find cost-curve local minima ("peaks"), classify STRONG/WEAK/
+    UNKNOWN. Returns (new_weak (B,), curve (B, 61) or None)."""
+    h, w = state.costs.shape
+    B = x.shape[0]
+    min_margin = 6
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    setup = _sweep_setup(data, state, x, y)
+    win = precompute_ref_window(data, xf, yf, strong_radius, strong_increment,
+                                use_sa)
+    radius = (RELIABLE_CURVE_SAMPLE_NUM - 1) // 2
+
+    def step(i, _):
+        p_disp = (i - radius).astype(jnp.float32)
+        p_depth = data.ref_cam.fx * setup.base_line \
+            / jnp.where(setup.disp + p_disp != 0, setup.disp + p_disp, 1e-20)
+        c = _sweep_cost(data, setup, win, x, y, p_depth, geom, geom_factor,
+                        depth_min, depth_max)
+        return i + 1, jnp.minimum(c, COST_MAX)
+
+    _, curve = jax.lax.scan(step, jnp.int32(0), None,
+                            length=RELIABLE_CURVE_SAMPLE_NUM)
+    curve = jnp.moveaxis(curve, 0, 1)                    # (B, 61)
+
+    # peaks: strict local minima over i in [2, 58]
+    left = curve[:, 1:-1]
+    prev = curve[:, :-2]
+    nxt = curve[:, 2:]
+    is_peak_inner = (prev > left) & (nxt > left)         # index i-1 -> i in [1, 59]
+    idx_inner = jnp.arange(1, RELIABLE_CURVE_SAMPLE_NUM - 1)
+    in_range = (idx_inner >= 2) & (idx_inner <= RELIABLE_CURVE_SAMPLE_NUM - 3)
+    is_peak = is_peak_inner & in_range[None, :]
+    peak_count = is_peak.sum(-1)
+    peak_costs = jnp.where(is_peak, left, jnp.inf)
+    best_inner = jnp.argmin(peak_costs, -1)
+    min_cost = jnp.take_along_axis(peak_costs, best_inner[:, None], 1)[:, 0]
+    # reference keeps min_peak=0 when no peak beats the initial 2.0
+    has_min = min_cost < 2.0
+    min_peak = jnp.where(has_min, best_inner + 1, 0)
+    min_cost = jnp.where(has_min, min_cost, 2.0)
+
+    far = (jnp.abs(min_peak - radius) > weak_peak_radius) | (min_cost > 0.5)
+    single = peak_count == 1
+    single_strong = min_cost <= 0.15
+    others = is_peak & (idx_inner[None, :] != min_peak[:, None])
+    var = jnp.sqrt(jnp.where(others, (left - min_cost[:, None]) ** 2, 0.0
+                             ).sum(-1)) / jnp.maximum(peak_count - 1, 1)
+    multi_strong = var > 0.2
+
+    new_weak = jnp.where(
+        far, WEAK,
+        jnp.where(single, jnp.where(single_strong, STRONG, WEAK),
+                  jnp.where(multi_strong, STRONG, WEAK)))
+    # guards: margins and degenerate setups -> UNKNOWN
+    margin = (x < min_margin) | (y < min_margin) \
+        | (x >= w - min_margin) | (y >= h - min_margin)
+    invalid = margin | ~setup.ok | ~fetch(state.valid, x, y)
+    new_weak = jnp.where(invalid, UNKNOWN, new_weak)
+    return new_weak.astype(jnp.int32), (curve if return_curve else None)
+
+
+def local_refine(data: CostData, state: PMState, x, y, use_sa: bool,
+                 geom: bool, geom_factor, depth_min, depth_max,
+                 strong_radius=5, strong_increment=2):
+    """±5 one-pixel-disparity local depth sweep at fixed normal; replaces the
+    depth when the cost improves by > 0.1 (reference: LocalRefine,
+    APD.cu:2346-2432). Returns new depth values for the batch."""
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    setup = _sweep_setup(data, state, x, y)
+    win = precompute_ref_window(data, xf, yf, strong_radius, strong_increment,
+                                use_sa)
+    cost_now = _sweep_cost(data, setup, win, x, y, setup.depth, geom,
+                           geom_factor, -jnp.inf, jnp.inf)
+
+    def step(i, carry):
+        best_cost, best_depth = carry
+        p_disp = (i - 5).astype(jnp.float32)
+        p_depth = data.ref_cam.fx * setup.base_line \
+            / jnp.where(setup.disp + p_disp != 0, setup.disp + p_disp, 1e-20)
+        c = _sweep_cost(data, setup, win, x, y, p_depth, geom, geom_factor,
+                        depth_min, depth_max)
+        better = c < best_cost
+        return i + 1, (jnp.where(better, c, best_cost),
+                       jnp.where(better, p_depth, best_depth))
+
+    init = (jnp.full_like(cost_now, COST_MAX), setup.depth)
+    min_cost, best_depth = jax.lax.fori_loop(
+        0, 11, lambda i, c: step(i, c)[1], init)
+    improve = (cost_now - min_cost) > 0.1
+    ok = setup.ok & (setup.wnorm > 0) & fetch(state.valid, x, y)
+    return jnp.where(improve & ok, best_depth, setup.depth)

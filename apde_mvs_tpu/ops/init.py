@@ -1,0 +1,57 @@
+"""Per-pass state initialization (reference: RandomInitialization,
+APD.cu:919-948): FIRST_INIT draws random plane hypotheses; later passes
+convert the loaded (world normal, depth) maps into camera-frame planes. Both
+then compute the initial multi-view cost and top-k view selection."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WEAK
+from ..core import geometry as geo
+from .cost import CostData, initial_cost_and_selection, ncc_strong, \
+    precompute_ref_window
+from .deformable import WeakRefData, ncc_weak
+from .state import PMState
+
+
+def random_planes(key, data: CostData, depth_min, depth_max) -> jnp.ndarray:
+    h, w = data.height, data.width
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    return geo.random_plane_hypothesis(
+        key, data.ref_cam, xs.astype(jnp.float32), ys.astype(jnp.float32),
+        depth_min, depth_max)
+
+
+def initial_cost(data: CostData, state: PMState, params, use_apd: bool,
+                 weak_x=None, weak_y=None, weak_valid=None, anchors=None,
+                 chunk: Optional[int] = None) -> PMState:
+    """Initial cost + selected views for the whole image. With APD enabled,
+    WEAK pixels are re-scored with the deformable NCC over the weak list
+    (reference: ComputeMultiViewInitialCostandSelectedViews, APD.cu:723-774).
+    """
+    h, w = data.height, data.width
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    xf = xs.astype(jnp.float32).reshape(-1)
+    yf = ys.astype(jnp.float32).reshape(-1)
+    planes = state.planes.reshape(-1, 4)
+    win = precompute_ref_window(data, xf, yf, params.strong_radius,
+                                params.strong_increment, bool(params.use_sa))
+    costs = ncc_strong(data, xf, yf, planes, win)          # (HW, S)
+
+    if use_apd and weak_x is not None:
+        wref = WeakRefData.build(
+            data, weak_x.astype(jnp.float32), weak_y.astype(jnp.float32),
+            anchors, state.selected, params)
+        wplanes = state.planes.reshape(-1, 4)[weak_y * w + weak_x]
+        wcosts = ncc_weak(data, wref, wplanes, params)     # (Nw, S)
+        flat_idx = jnp.where(weak_valid, weak_y * w + weak_x, h * w)
+        costs = costs.at[flat_idx].set(wcosts, mode="drop")
+
+    mean_cost, selected = initial_cost_and_selection(costs, params.top_k)
+    return state.replace(
+        costs=jnp.where(state.valid, mean_cost.reshape(h, w), 1e9),
+        selected=selected.reshape(h, w, -1) & state.valid[..., None])

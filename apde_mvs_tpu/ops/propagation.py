@@ -1,0 +1,425 @@
+"""Checkerboard PatchMatch propagation sweeps.
+
+The reference's red-black kernels (CheckerboardPropagationStrong/Weak,
+APD.cu:1098-1692) become two batched evaluations per iteration:
+
+- the *strong* sweep runs per color on the checkerboard-compacted half grid
+  (candidates live on the opposite color, so black-then-red preserves the
+  reference's intra-sweep data flow exactly);
+- the *weak* sweep runs once over a compacted weak-pixel list — weak pixels
+  read only strong pixels' state (their anchors) and never each other, so the
+  reference's black/red split of the weak kernels is a no-op we drop.
+
+Semantic notes carried over deliberately:
+- invalid candidate regions contribute ~0 cost rows (the reference's C
+  aggregate initialization `float cost_array[8][32] = {2.0f}` zero-fills all
+  but the first element, APD.cu:1120/1464), and FindMinCostIndex's `<=` makes
+  the *last* minimum win; both quirks shape which pixels adopt candidates and
+  are reproduced.
+- pixels whose Monte-Carlo view selection comes back empty (zero probability
+  mass) hit a 0/0 in the reference; we define that case as "no update".
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import STRONG, WEAK
+from ..core import checkerboard as cb
+from ..core import geometry as geo
+from ..core.sampling import fetch
+from . import selection
+from .cost import COST_MAX, CostData, GEOM_COST_MAX, geom_cost, ncc_strong, \
+    precompute_ref_window
+from .deformable import WeakRefData, ncc_weak
+from .state import PMState
+
+
+class PropCfg(NamedTuple):
+    """Jit-static propagation configuration."""
+
+    top_k: int = 4
+    geom_consistency: bool = False
+    use_impetus: bool = True
+    use_sa: bool = False
+    refine_init: bool = False     # REFINE_INIT accept rule (improve > 0.1)
+    strong_radius: int = 5
+    strong_increment: int = 2
+    weak_radius: int = 5
+    weak_increment: int = 5
+
+
+# ---------------------------------------------------------------------------
+# Adaptive checkerboard candidate regions (reference: APD.cu:1119-1316).
+# Region order matches the reference cost_array indexing:
+# 0 up_near, 1 up_far, 2 down_near, 3 down_far,
+# 4 left_near, 5 left_far, 6 right_near, 7 right_far.
+# ---------------------------------------------------------------------------
+
+def _near_offsets(axis: str, sign: int):
+    if axis == "y":
+        offs = [(0, sign)]
+        for i in range(3):
+            offs.append((-(i + 1), sign * (2 + i)))
+            offs.append((+(i + 1), sign * (2 + i)))
+    else:
+        offs = [(sign, 0)]
+        for i in range(3):
+            offs.append((sign * (2 + i), -(i + 1)))
+            offs.append((sign * (2 + i), +(i + 1)))
+    return offs
+
+
+def _far_offsets(axis: str, sign: int):
+    if axis == "y":
+        return [(0, sign * (3 + 2 * i)) for i in range(11)]
+    return [(sign * (3 + 2 * i), 0) for i in range(11)]
+
+
+_REGIONS = [
+    _near_offsets("y", -1), _far_offsets("y", -1),
+    _near_offsets("y", +1), _far_offsets("y", +1),
+    _near_offsets("x", -1), _far_offsets("x", -1),
+    _near_offsets("x", +1), _far_offsets("x", +1),
+]
+_MAX_REGION = max(len(r) for r in _REGIONS)
+_REGION_OFFSETS = np.zeros((8, _MAX_REGION, 2), np.int32)
+_REGION_LEN = np.zeros((8,), np.int32)
+for _r, _offs in enumerate(_REGIONS):
+    _REGION_LEN[_r] = len(_offs)
+    _REGION_OFFSETS[_r, :len(_offs)] = np.asarray(_offs)
+
+
+def checkerboard_candidates(costs: jnp.ndarray, x, y
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Min-cost candidate position per region.
+
+    costs: (H, W); x, y: (B,) int32. Returns (cand_x, cand_y (B, 8),
+    flags (B, 8)). A region is valid iff its base offset is in-bounds; within
+    a region the first position achieving the minimal cost wins (the
+    reference's strict `<` scan order)."""
+    h, w = costs.shape
+    offs = jnp.asarray(_REGION_OFFSETS)            # (8, M, 2)
+    px = x[:, None, None] + offs[None, :, :, 0]     # (B, 8, M)
+    py = y[:, None, None] + offs[None, :, :, 1]
+    inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    length_mask = (jnp.arange(_MAX_REGION)[None, None, :]
+                   < jnp.asarray(_REGION_LEN)[None, :, None])
+    usable = inb & length_mask
+    c = fetch(costs, px, py, fill=0.0)
+    c = jnp.where(usable, c, jnp.inf)
+    best = jnp.argmin(c, axis=-1)                   # first min (strict <)
+    cand_x = jnp.take_along_axis(px, best[..., None], -1)[..., 0]
+    cand_y = jnp.take_along_axis(py, best[..., None], -1)[..., 0]
+    flags = usable[..., 0]                          # base position validity
+    return cand_x, cand_y, flags
+
+
+def last_min_index(vals: jnp.ndarray) -> jnp.ndarray:
+    """Index of the last minimum along -1 (reference FindMinCostIndex's `<=`,
+    APD.cu:60-71)."""
+    n = vals.shape[-1]
+    return n - 1 - jnp.argmin(vals[..., ::-1], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Plane refinement hypotheses (reference: PlaneHypothesisRefinement*,
+# APD.cu:950-1096).
+# ---------------------------------------------------------------------------
+
+def refinement_hypotheses(key, cam: geo.CameraArrays, x, y, cur_plane,
+                          cur_depth, depth_min, depth_max):
+    """The 5 (depth, normal) refinement combos. Returns (depths (B, 5),
+    normals (B, 5, 3)). The reference's do-while depth-perturbation loop has a
+    condition that can never hold (`< depth_min && > depth_max`), i.e. it
+    samples exactly once; so do we."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    d_rand = jax.random.uniform(k1, x.shape, jnp.float32, depth_min, depth_max)
+    n_rand = geo.random_unit_normal_facing(k2, cam, x, y, cur_depth)
+    d_pert = jax.random.uniform(k3, x.shape, jnp.float32,
+                                0.98 * cur_depth, 1.02 * cur_depth)
+    n_cur = cur_plane[..., :3]
+    n_pert = geo.perturbed_normal(k4, cam, x, y, n_cur, 0.02 * jnp.pi)
+    depths = jnp.stack([d_rand, cur_depth, d_rand, cur_depth, d_pert], -1)
+    normals = jnp.stack([n_cur, n_rand, n_rand, n_pert, n_cur], -2)
+    return depths, normals
+
+
+# ---------------------------------------------------------------------------
+# Strong sweep (one checkerboard color)
+# ---------------------------------------------------------------------------
+
+def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
+                     iteration, key, color: int, depth_min, depth_max,
+                     geom_factor) -> PMState:
+    h, w = state.costs.shape
+    S = data.num_src
+    xs2, ys2 = cb.color_coords(h, w, color)
+    x = xs2.reshape(-1)
+    y = ys2.reshape(-1)
+    B = x.shape[0]
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    cam = data.ref_cam
+
+    weak_c = cb.gather_color(state.weak, color).reshape(-1)
+    valid_c = cb.gather_color(state.valid, color).reshape(-1)
+    active = (weak_c != WEAK) & valid_c
+
+    cand_x, cand_y, flags = checkerboard_candidates(state.costs, x, y)
+    cand_planes = fetch(state.planes, cand_x, cand_y)          # (B, 8, 4)
+
+    win = precompute_ref_window(data, xf, yf, cfg.strong_radius,
+                                cfg.strong_increment, cfg.use_sa)
+
+    def cand_cost(c, _):
+        plane_c = cand_planes[:, c]
+        costs_c = ncc_strong(data, xf, yf, plane_c, win)        # (B, S)
+        return c + 1, costs_c
+
+    _, cost_array = jax.lax.scan(cand_cost, 0, None, length=8)
+    cost_array = jnp.moveaxis(cost_array, 0, 1)                # (B, 8, S)
+    # invalid regions keep ~zero rows (C aggregate-init quirk, see module doc)
+    cost_array = jnp.where(flags[..., None], cost_array, 0.0)
+
+    # view selection
+    nb_x = jnp.stack([x, x, x - 1, x + 1], -1)
+    nb_y = jnp.stack([y - 1, y + 1, y, y], -1)
+    nb_sel = fetch(state.selected, nb_x, nb_y)                 # (B, 4, S)
+    nb_valid = flags[:, jnp.asarray([0, 2, 4, 6])]
+    priors = selection.view_selection_priors(nb_sel, nb_valid)
+    probs = selection.sampling_probabilities(cost_array, priors, iteration)
+    key, k_sel = jax.random.split(key)
+    vw, temp_sel, wnorm = selection.monte_carlo_view_weights(k_sel, probs)
+    has_views = wnorm > 0
+    inv_norm = jnp.where(has_views, 1.0 / jnp.maximum(wnorm, 1e-20), 0.0)
+
+    final_costs = (vw[:, None, :] * cost_array).sum(-1) * inv_norm[:, None]
+
+    cur_plane = fetch(state.planes, x, y)
+    cost_now_vec = ncc_strong(data, xf, yf, cur_plane, win)
+    if cfg.geom_consistency and cfg.use_impetus:
+        cost_now_vec = cost_now_vec + geom_factor * geom_cost(
+            data, xf, yf, cur_plane)
+    cost_now = (vw * cost_now_vec).sum(-1) * inv_norm
+    cost_recomputed = jnp.where(has_views, cost_now, COST_MAX)
+
+    # adopt best candidate (last-min wins ties)
+    best = last_min_index(final_costs)
+    best_plane = jnp.take_along_axis(
+        cand_planes, best[:, None, None].repeat(4, -1), 1)[:, 0]
+    best_cost = jnp.take_along_axis(final_costs, best[:, None], 1)[:, 0]
+    best_flag = jnp.take_along_axis(flags, best[:, None], 1)[:, 0]
+    depth_before = geo.depth_from_plane(cam, best_plane, xf, yf)
+    adopt = best_flag & (depth_before >= depth_min) & (depth_before <= depth_max) \
+        & (best_cost < cost_recomputed) & has_views
+    plane_cur = jnp.where(adopt[:, None], best_plane, cur_plane)
+    cost_cur = jnp.where(adopt, best_cost, cost_recomputed)
+    sel_new = jnp.where(adopt[:, None], temp_sel, fetch(state.selected, x, y))
+
+    # refinement (5 hypotheses; geom only under impetus gating)
+    depth_cur = geo.depth_from_plane(cam, plane_cur, xf, yf)
+    key, k_ref = jax.random.split(key)
+    r_depths, r_normals = refinement_hypotheses(
+        k_ref, cam, xf, yf, plane_cur, depth_cur, depth_min, depth_max)
+
+    def refine_cost(i, _):
+        plane_i = geo.make_plane(cam, xf, yf, r_depths[:, i], r_normals[:, i])
+        cv = ncc_strong(data, xf, yf, plane_i, win)
+        if cfg.geom_consistency and cfg.use_impetus:
+            cv = cv + geom_factor * geom_cost(data, xf, yf, plane_i)
+        ci = (vw * cv).sum(-1) * inv_norm
+        d_i = geo.depth_from_plane(cam, plane_i, xf, yf)
+        ok = (d_i >= depth_min) & (d_i <= depth_max) & has_views
+        return i + 1, (jnp.where(ok, ci, jnp.inf), plane_i)
+
+    _, (r_costs, r_planes) = jax.lax.scan(refine_cost, 0, None, length=5)
+    r_costs = jnp.moveaxis(r_costs, 0, 1)                      # (B, 5)
+    r_planes = jnp.moveaxis(r_planes, 0, 1)                    # (B, 5, 4)
+    r_best = jnp.argmin(r_costs, -1)
+    r_cost = jnp.take_along_axis(r_costs, r_best[:, None], 1)[:, 0]
+    r_plane = jnp.take_along_axis(
+        r_planes, r_best[:, None, None].repeat(4, -1), 1)[:, 0]
+    take_ref = r_cost < cost_cur
+    plane_cur = jnp.where(take_ref[:, None], r_plane, plane_cur)
+    cost_cur = jnp.where(take_ref, r_cost, cost_cur)
+
+    # commit (REFINE_INIT needs a 0.1 improvement; reference APD.cu:1430-1439)
+    if cfg.refine_init:
+        commit = cost_cur < cost_recomputed - 0.1
+        planes_out = jnp.where(commit[:, None], plane_cur, cur_plane)
+        costs_out = jnp.where(commit, cost_cur, cost_recomputed)
+    else:
+        planes_out = plane_cur
+        costs_out = cost_cur
+
+    # scatter back (only active pixels change)
+    def put(full, vals_flat, old_flat):
+        vals = jnp.where(
+            active.reshape(active.shape + (1,) * (vals_flat.ndim - 1)),
+            vals_flat, old_flat)
+        return cb.scatter_color(full, vals.reshape((h, w // 2) + vals.shape[1:]),
+                                color)
+
+    old_planes = cur_plane
+    old_costs = fetch(state.costs, x, y)
+    old_sel = fetch(state.selected, x, y)
+    old_vw = fetch(state.view_weights, x, y)
+    return state.replace(
+        planes=put(state.planes, planes_out, old_planes),
+        costs=put(state.costs, costs_out, old_costs),
+        selected=put(state.selected, sel_new, old_sel),
+        view_weights=put(state.view_weights, vw, old_vw),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weak sweep (single fused pass over the compacted weak-pixel list)
+# ---------------------------------------------------------------------------
+
+def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
+                   iteration, key, weak_x, weak_y, weak_valid,
+                   anchors, fit_planes, depth_min, depth_max,
+                   geom_factor) -> PMState:
+    """One weak-pixel sweep.
+
+    weak_x/weak_y: (Nw,) int32 coords (padded entries arbitrary);
+    weak_valid: (Nw,) bool; anchors: (Nw, 9, 2) int32; fit_planes: (Nw, 4)
+    from the per-iteration RANSAC fit (zeros when absent).
+    """
+    h, w = state.costs.shape
+    S = data.num_src
+    x, y = weak_x, weak_y
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    cam = data.ref_cam
+
+    wref = WeakRefData.build(data, xf, yf, anchors, state.selected, cfg)
+
+    a_x = anchors[:, 1:, 0]
+    a_y = anchors[:, 1:, 1]
+    exists = (a_x >= 0) & (a_y >= 0)
+    a_state = fetch(state.weak, jnp.maximum(a_x, 0), jnp.maximum(a_y, 0))
+    flags = exists & (a_state == STRONG)
+    cand_planes = fetch(state.planes, jnp.maximum(a_x, 0), jnp.maximum(a_y, 0))
+
+    def cand_cost(c, _):
+        costs_c = ncc_weak(data, wref, cand_planes[:, c], cfg)
+        return c + 1, costs_c
+
+    _, cost_array = jax.lax.scan(cand_cost, 0, None, length=8)
+    cost_array = jnp.moveaxis(cost_array, 0, 1)               # (Nw, 8, S)
+    cost_array = jnp.where(flags[..., None], cost_array, 0.0)
+
+    # priors from all existing anchors (reference gates only on -1 here)
+    nb_sel = wref.anchor_sel
+    priors = selection.view_selection_priors(nb_sel, exists)
+    probs = selection.sampling_probabilities(cost_array, priors, iteration)
+    key, k_sel = jax.random.split(key)
+    vw, temp_sel, wnorm = selection.monte_carlo_view_weights(k_sel, probs)
+    has_views = wnorm > 0
+    inv_norm = jnp.where(has_views, 1.0 / jnp.maximum(wnorm, 1e-20), 0.0)
+
+    if cfg.geom_consistency:
+        def cand_geom(c, _):
+            return c + 1, geom_cost(data, xf, yf, cand_planes[:, c])
+        _, gcosts = jax.lax.scan(cand_geom, 0, None, length=8)
+        gcosts = jnp.moveaxis(gcosts, 0, 1)                    # (Nw, 8, S)
+        gcosts = jnp.where(flags[..., None], gcosts, GEOM_COST_MAX)
+        total = cost_array + geom_factor * gcosts
+    else:
+        total = cost_array
+    final_costs = (vw[:, None, :] * total).sum(-1) * inv_norm[:, None]
+
+    cur_plane = fetch(state.planes, x, y)
+    cost_now_vec = ncc_weak(data, wref, cur_plane, cfg)
+    if cfg.geom_consistency:
+        cost_now_vec = cost_now_vec + geom_factor * geom_cost(
+            data, xf, yf, cur_plane)
+    cost_now = (vw * cost_now_vec).sum(-1) * inv_norm
+    cost_recomputed = jnp.where(has_views, cost_now, COST_MAX)
+
+    best = last_min_index(final_costs)
+    best_plane = jnp.take_along_axis(
+        cand_planes, best[:, None, None].repeat(4, -1), 1)[:, 0]
+    best_cost = jnp.take_along_axis(final_costs, best[:, None], 1)[:, 0]
+    best_flag = jnp.take_along_axis(flags, best[:, None], 1)[:, 0]
+    depth_before = geo.depth_from_plane(cam, best_plane, xf, yf)
+    adopt = best_flag & (depth_before >= depth_min) & (depth_before <= depth_max) \
+        & (best_cost < cost_recomputed) & has_views
+    plane_cur = jnp.where(adopt[:, None], best_plane, cur_plane)
+    cost_cur = jnp.where(adopt, best_cost, cost_recomputed)
+    sel_new = jnp.where(adopt[:, None], temp_sel, fetch(state.selected, x, y))
+
+    # fit-plane test (reference: PlaneHypothesisRefinementWeak, APD.cu:1026-1052)
+    fit_ok = jnp.any(fit_planes[:, :3] != 0.0, axis=-1)
+
+    def eval_plane(plane_i):
+        cv = ncc_weak(data, wref, plane_i, cfg)
+        if cfg.geom_consistency:
+            cv = cv + geom_factor * geom_cost(data, xf, yf, plane_i)
+        return (vw * cv).sum(-1) * inv_norm
+
+    fit_cost = eval_plane(fit_planes)
+    fit_depth = geo.depth_from_plane(cam, fit_planes, xf, yf)
+    take_fit = fit_ok & (fit_depth >= depth_min) & (fit_depth <= depth_max) \
+        & (fit_cost < cost_cur) & has_views
+    plane_cur = jnp.where(take_fit[:, None], fit_planes, plane_cur)
+    cost_cur = jnp.where(take_fit, fit_cost, cost_cur)
+
+    # random refinement
+    depth_cur = geo.depth_from_plane(cam, plane_cur, xf, yf)
+    key, k_ref = jax.random.split(key)
+    r_depths, r_normals = refinement_hypotheses(
+        k_ref, cam, xf, yf, plane_cur, depth_cur, depth_min, depth_max)
+
+    def refine_cost(i, _):
+        plane_i = geo.make_plane(cam, xf, yf, r_depths[:, i], r_normals[:, i])
+        ci = eval_plane(plane_i)
+        d_i = geo.depth_from_plane(cam, plane_i, xf, yf)
+        ok = (d_i >= depth_min) & (d_i <= depth_max) & has_views
+        return i + 1, (jnp.where(ok, ci, jnp.inf), plane_i)
+
+    _, (r_costs, r_planes) = jax.lax.scan(refine_cost, 0, None, length=5)
+    r_costs = jnp.moveaxis(r_costs, 0, 1)
+    r_planes = jnp.moveaxis(r_planes, 0, 1)
+    r_best = jnp.argmin(r_costs, -1)
+    r_cost = jnp.take_along_axis(r_costs, r_best[:, None], 1)[:, 0]
+    r_plane = jnp.take_along_axis(
+        r_planes, r_best[:, None, None].repeat(4, -1), 1)[:, 0]
+    take_ref = r_cost < cost_cur
+    plane_cur = jnp.where(take_ref[:, None], r_plane, plane_cur)
+    cost_cur = jnp.where(take_ref, r_cost, cost_cur)
+
+    if cfg.refine_init:
+        commit = cost_cur < cost_recomputed - 0.1
+        planes_out = jnp.where(commit[:, None], plane_cur, cur_plane)
+        costs_out = jnp.where(commit, cost_cur, cost_recomputed)
+    else:
+        planes_out = plane_cur
+        costs_out = cost_cur
+
+    # scatter into the dense state at the weak-list coordinates; padded
+    # entries scatter to an out-of-range index and are dropped so they can
+    # never race with a real pixel's write
+    upd = weak_valid & (fetch(state.weak, x, y) == WEAK)
+    flat_idx = jnp.where(weak_valid, y * w + x, h * w)
+
+    def put_flat(full, vals, old):
+        sel = upd.reshape(upd.shape + (1,) * (vals.ndim - 1))
+        merged = jnp.where(sel, vals, old)
+        flat = full.reshape((h * w,) + full.shape[2:])
+        flat = flat.at[flat_idx].set(merged, mode="drop")
+        return flat.reshape(full.shape)
+
+    return state.replace(
+        planes=put_flat(state.planes, planes_out, fetch(state.planes, x, y)),
+        costs=put_flat(state.costs, costs_out, fetch(state.costs, x, y)),
+        selected=put_flat(state.selected, sel_new, fetch(state.selected, x, y)),
+        view_weights=put_flat(state.view_weights, vw,
+                              fetch(state.view_weights, x, y)),
+    )

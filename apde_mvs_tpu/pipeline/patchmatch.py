@@ -1,0 +1,319 @@
+"""Per-view PatchMatch engine — the device-side orchestration of one pass
+(reference: APD::RunPatchMatch, APD.cu:2663-2737).
+
+Host-level structure of one pass:
+
+1.  [APD] nearest-strong transform -> anchor generation over the compacted
+    weak list -> demote anchorless weak pixels (one jitted stage)
+2.  initialization (random planes or loaded depth/normal) + initial cost and
+    top-k view selection
+3.  max_iterations x { strong sweep (black, red); [APD] fit-plane RANSAC +
+    fused weak sweep } — a single jitted core
+4.  plane -> (world normal, depth); strong median filter (black, red)
+5.  reliability reclassification (DepthToWeak), chunked over pixels
+6.  [geom|APD] confidence; local refine, chunked
+
+Jitted stages are cached per (shape, source count, weak bucket, flag set).
+The weak-pixel list is compacted on the host once per pass (the weak set is
+fixed during a pass's iterations, as in the reference) and padded to bucketed
+sizes to bound recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ANCHOR_NUM, STRONG, UNKNOWN, WEAK, PatchMatchParams
+from ..core import geometry as geo
+from ..ops import anchors as anchor_ops
+from ..ops import filters, init as init_ops
+from ..ops.cost import CostData
+from ..ops.propagation import PropCfg, propagate_strong, propagate_weak
+from ..ops.state import PMState
+
+
+class StaticCfg(NamedTuple):
+    """Hashable jit-static configuration of a pass."""
+
+    prop: PropCfg
+    use_apd: bool
+    max_iterations: int
+    rotate_time: int
+
+
+def _bucket(n: int, minimum: int = 1024) -> int:
+    """Pad a dynamic count to a 1.25x-growth bucket to bound recompiles."""
+    b = minimum
+    while b < n:
+        b = int(b * 5 // 4 + 127) & ~127
+    return max(b, minimum)
+
+
+def pad_to_multiple(arr: np.ndarray, mh: int, mw: int, mode="edge"):
+    h, w = arr.shape[:2]
+    ph = (-h) % mh
+    pw = (-w) % mw
+    if ph == 0 and pw == 0:
+        return arr
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, pad, mode=mode)
+
+
+class PatchMatchOutputs(NamedTuple):
+    depth: np.ndarray        # (H, W) f32
+    normal: np.ndarray       # (H, W, 3) world-frame
+    weak: np.ndarray         # (H, W) uint8
+    confidence: np.ndarray   # (H, W) uint8
+    cost: np.ndarray         # (H, W) f32
+    anchors: Optional[np.ndarray]       # (Nw, 9, 2) int32 (APD passes)
+    anchors_map: Optional[np.ndarray]   # (H, W) int32
+    reliable_curve: Optional[np.ndarray]
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_apd_setup(shape, num_src, cfg: StaticCfg, nw: int,
+                   radius_budget: int):
+    def f(data, state, weak_x, weak_y, weak_valid, key, ransac_threshold,
+          depth_min, depth_max):
+        ns = anchor_ops.nearest_strong_jfa(state.weak, state.confidence,
+                                           state.valid)
+        res = anchor_ops.gen_anchors(
+            key, data, state, weak_x, weak_y, weak_valid, cfg.rotate_time,
+            ransac_threshold, depth_min, depth_max, ns,
+            radius_budget=radius_budget)
+        state = anchor_ops.neighbor_update(state, weak_x, weak_y, weak_valid,
+                                           res.reliable)
+        return state, res.anchors, res.reliable
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_init(shape, num_src, cfg: StaticCfg, nw: int, first_init: bool):
+    params = PatchMatchParams(
+        strong_radius=cfg.prop.strong_radius,
+        strong_increment=cfg.prop.strong_increment,
+        weak_radius=cfg.prop.weak_radius,
+        weak_increment=cfg.prop.weak_increment,
+        use_sa=cfg.prop.use_sa, top_k=cfg.prop.top_k)
+
+    def f(data, state, key, depth_min, depth_max, weak_x, weak_y, weak_valid,
+          anchors):
+        if first_init:
+            planes = init_ops.random_planes(key, data, depth_min, depth_max)
+        else:
+            planes = filters.depth_normal_to_planes(
+                data, state.planes[..., 3], state.planes[..., :3])
+        state = state.replace(planes=planes)
+        return init_ops.initial_cost(
+            data, state, params, cfg.use_apd and nw > 0,
+            weak_x, weak_y, weak_valid, anchors)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_iterations(shape, num_src, cfg: StaticCfg, nw: int):
+    def f(data, state, key, weak_x, weak_y, weak_valid, anchors,
+          depth_min, depth_max, geom_factor):
+        for i in range(cfg.max_iterations):
+            for color in (0, 1):
+                key, k = jax.random.split(key)
+                state = propagate_strong(
+                    data, state, cfg.prop, i, k, color, depth_min, depth_max,
+                    geom_factor)
+            if cfg.use_apd and nw > 0:
+                key, k1, k2 = jax.random.split(key, 3)
+                fit = anchor_ops.ransac_fit_planes(
+                    k1, data, state, weak_x, weak_y, weak_valid, anchors)
+                state = propagate_weak(
+                    data, state, cfg.prop, i, k2, weak_x, weak_y, weak_valid,
+                    anchors, fit, depth_min, depth_max, geom_factor)
+        # plane -> (world normal, depth); median filter both colors
+        state = state.replace(planes=filters.planes_to_depth_normal(
+            data, state.planes))
+        state = filters.median_filter_color(state, 0)
+        state = filters.median_filter_color(state, 1)
+        return state
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_classify(shape, num_src, cfg: StaticCfg, chunk: int,
+                  return_curve: bool):
+    def f(data, state, x, y, weak_peak_radius, geom_factor, depth_min,
+          depth_max):
+        return filters.depth_to_weak(
+            data, state, x, y, weak_peak_radius, cfg.prop.use_sa,
+            cfg.prop.geom_consistency, geom_factor, depth_min, depth_max,
+            cfg.prop.strong_radius, cfg.prop.strong_increment,
+            return_curve=return_curve)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_local_refine(shape, num_src, cfg: StaticCfg, chunk: int):
+    def f(data, state, x, y, geom_factor, depth_min, depth_max):
+        return filters.local_refine(
+            data, state, x, y, cfg.prop.use_sa, cfg.prop.geom_consistency,
+            geom_factor, depth_min, depth_max,
+            cfg.prop.strong_radius, cfg.prop.strong_increment)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_confidence(shape, num_src):
+    return jax.jit(filters.compute_confidence)
+
+
+def run_patchmatch(
+    data: CostData,
+    params: PatchMatchParams,
+    *,
+    prior_depth: Optional[np.ndarray] = None,
+    prior_normal: Optional[np.ndarray] = None,
+    prior_weak: Optional[np.ndarray] = None,
+    prior_confidence: Optional[np.ndarray] = None,
+    valid: Optional[jnp.ndarray] = None,
+    depth_min: float,
+    depth_max: float,
+    seed: int = 0,
+    classify_chunk: int = 1 << 16,
+    export_curve: bool = False,
+    anchor_radius_budget: int = 25,
+) -> PatchMatchOutputs:
+    """Run one full PatchMatch pass for one reference view.
+
+    `data` carries the (padded) images/cameras/depths; priors are the loaded
+    previous-iteration maps at the same padded resolution.
+    """
+    h, w = data.height, data.width
+    S = data.num_src
+    shape = (h, w)
+    first_init = params.state == "first_init"
+    use_apd = bool(params.use_apd) and not first_init
+    cfg = StaticCfg(
+        prop=PropCfg(
+            top_k=params.top_k,
+            geom_consistency=bool(params.geom_consistency),
+            use_impetus=bool(params.use_impetus),
+            use_sa=bool(params.use_sa),
+            refine_init=(params.state == "refine_init"),
+            strong_radius=params.strong_radius,
+            strong_increment=params.strong_increment,
+            weak_radius=params.weak_radius,
+            weak_increment=params.weak_increment),
+        use_apd=use_apd,
+        max_iterations=params.max_iterations,
+        rotate_time=params.rotate_time)
+
+    if valid is None:
+        valid = jnp.ones((h, w), bool)
+    state = PMState.create(h, w, S, valid=valid)
+    if prior_weak is not None and use_apd:
+        weak_dev = jnp.where(valid, jnp.asarray(prior_weak, jnp.int32), UNKNOWN)
+        state = state.replace(weak=weak_dev)
+    if prior_confidence is not None:
+        state = state.replace(
+            confidence=jnp.asarray(prior_confidence, jnp.float32))
+    if prior_depth is not None:
+        planes = jnp.concatenate(
+            [jnp.asarray(prior_normal, jnp.float32),
+             jnp.asarray(prior_depth, jnp.float32)[..., None]], axis=-1)
+        state = state.replace(planes=planes)
+
+    dmin = jnp.float32(depth_min)
+    dmax = jnp.float32(depth_max)
+    gf = jnp.float32(params.geom_factor)
+    key = jax.random.PRNGKey(seed)
+
+    # ---- weak-pixel compaction (host; the weak set is fixed for the pass) --
+    anchors = jnp.zeros((1, ANCHOR_NUM, 2), jnp.int32) - 1
+    weak_x = jnp.zeros((1,), jnp.int32)
+    weak_y = jnp.zeros((1,), jnp.int32)
+    weak_valid = jnp.zeros((1,), bool)
+    nw = 0
+    anchors_map_np = None
+    if use_apd:
+        weak_np = np.asarray(state.weak)
+        wy, wx = np.nonzero(weak_np == WEAK)
+        nw = len(wx)
+        if nw > 0:
+            cap = _bucket(nw)
+            weak_x = jnp.asarray(np.pad(wx, (0, cap - nw)), jnp.int32)
+            weak_y = jnp.asarray(np.pad(wy, (0, cap - nw)), jnp.int32)
+            weak_valid = jnp.asarray(
+                np.arange(cap) < nw)
+            anchors_map_np = np.full((h, w), -1, np.int32)
+            anchors_map_np[wy, wx] = np.arange(nw)
+            key, k_anchor = jax.random.split(key)
+            setup = _jit_apd_setup(shape, S, cfg, cap, anchor_radius_budget)
+            state, anchors, _rel = setup(
+                data, state, weak_x, weak_y, weak_valid, k_anchor,
+                jnp.float32(params.ransac_threshold), dmin, dmax)
+
+    # ---- init + iterations ------------------------------------------------
+    key, k_init, k_iter = jax.random.split(key, 3)
+    nw_cap = int(weak_x.shape[0]) if nw > 0 else 0
+    state = _jit_init(shape, S, cfg, nw_cap, first_init)(
+        data, state, k_init, dmin, dmax, weak_x, weak_y, weak_valid, anchors)
+    state = _jit_iterations(shape, S, cfg, nw_cap)(
+        data, state, k_iter, weak_x, weak_y, weak_valid, anchors,
+        dmin, dmax, gf)
+
+    # ---- reliability classification (chunked) -----------------------------
+    total = h * w
+    ys, xs = np.mgrid[0:h, 0:w]
+    xs_f = jnp.asarray(xs.reshape(-1), jnp.int32)
+    ys_f = jnp.asarray(ys.reshape(-1), jnp.int32)
+    chunk = min(classify_chunk, total)
+    n_chunks = -(-total // chunk)
+    pad_total = n_chunks * chunk
+    xs_p = jnp.concatenate([xs_f, jnp.zeros((pad_total - total,), jnp.int32)])
+    ys_p = jnp.concatenate([ys_f, jnp.zeros((pad_total - total,), jnp.int32)])
+    classify = _jit_classify(shape, S, cfg, chunk, export_curve)
+    new_weak = []
+    curves = [] if export_curve else None
+    for ci in range(n_chunks):
+        cx = jax.lax.dynamic_slice(xs_p, (ci * chunk,), (chunk,))
+        cy = jax.lax.dynamic_slice(ys_p, (ci * chunk,), (chunk,))
+        nwk, curve = classify(data, state, cx, cy,
+                              jnp.int32(params.weak_peak_radius), gf,
+                              dmin, dmax)
+        new_weak.append(np.asarray(nwk))
+        if export_curve:
+            curves.append(np.asarray(curve))
+    weak_map = np.concatenate(new_weak)[:total].reshape(h, w)
+    state = state.replace(weak=jnp.asarray(weak_map, jnp.int32))
+    reliable_curve = (np.concatenate(curves)[:total].reshape(h, w, -1)
+                      if export_curve else None)
+
+    # ---- confidence + local refine ----------------------------------------
+    if params.geom_consistency or use_apd:
+        state = _jit_confidence(shape, S)(data, state)
+    refine = _jit_local_refine(shape, S, cfg, chunk)
+    new_depth = []
+    for ci in range(n_chunks):
+        cx = jax.lax.dynamic_slice(xs_p, (ci * chunk,), (chunk,))
+        cy = jax.lax.dynamic_slice(ys_p, (ci * chunk,), (chunk,))
+        nd = refine(data, state, cx, cy, gf, dmin, dmax)
+        new_depth.append(np.asarray(nd))
+    depth_map = np.concatenate(new_depth)[:total].reshape(h, w)
+    state = state.replace(
+        planes=state.planes.at[..., 3].set(jnp.asarray(depth_map)))
+
+    planes_np = np.asarray(state.planes)
+    return PatchMatchOutputs(
+        depth=planes_np[..., 3].copy(),
+        normal=planes_np[..., :3].copy(),
+        weak=np.asarray(state.weak).astype(np.uint8),
+        confidence=np.clip(np.asarray(state.confidence), 0, 255
+                           ).astype(np.uint8),
+        cost=np.asarray(state.costs),
+        anchors=(np.asarray(anchors)[:nw] if use_apd and nw > 0 else None),
+        anchors_map=anchors_map_np,
+        reliable_curve=reliable_curve,
+    )

@@ -1,0 +1,66 @@
+"""Per-scan engine CLI — the `APD` binary equivalent (reference:
+main.cpp:7-41, boost::program_options flags reproduced 1:1).
+
+Usage:
+    python -m apde_mvs_tpu.cli.apd --dense_folder <scan> [--dataset DTU] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="apd", description="TPU-native APD engine")
+    p.add_argument("--dense_folder", "-d", required=True,
+                   help="path to dense folder")
+    p.add_argument("--gpu_index", "-g", type=int, default=0,
+                   help="device index (accepted for CLI parity; device "
+                        "placement is managed by JAX)")
+    p.add_argument("--dataset", "-D", default="DTU",
+                   help="dataset name, DTU, ETH3D, TaT_a, TaT_i or General")
+    p.add_argument("--only_fuse", "-f", type=_bool, default=False)
+    p.add_argument("--no_fuse", "-F", type=_bool, default=False)
+    p.add_argument("--memory_cache", "-m", type=_bool, default=True)
+    p.add_argument("--use_sa", "-s", type=_bool, default=True)
+    p.add_argument("--use_impetus", "-i", type=_bool, default=True)
+    p.add_argument("--weak_filter", "-w", type=_bool, default=True)
+    p.add_argument("--flush", type=_bool, default=False)
+    p.add_argument("--export_anchor", "-n", type=_bool, default=False)
+    p.add_argument("--export_curve", "-r", type=_bool, default=False)
+    p.add_argument("--export_color", "-c", type=_bool, default=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pyramid_base", type=int, default=800)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    only_fuse = args.only_fuse
+    use_memory_cache = args.memory_cache and not only_fuse
+    flush = args.flush or args.no_fuse
+    print("========================== Config ==========================")
+    for k, v in sorted(vars(args).items()):
+        print(f"{k:14s}: {v}")
+    print("============================================================")
+
+    from ..pipeline.driver import run_scan
+
+    run_scan(
+        args.dense_folder, dataset=args.dataset,
+        only_fuse=only_fuse, no_fuse=args.no_fuse,
+        use_memory_cache=use_memory_cache, use_sa=args.use_sa,
+        use_impetus=args.use_impetus, weak_filter=args.weak_filter,
+        flush=flush, export_anchor=args.export_anchor,
+        export_curve=args.export_curve, export_color=args.export_color,
+        seed=args.seed, pyramid_base=args.pyramid_base)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

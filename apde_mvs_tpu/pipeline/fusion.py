@@ -1,0 +1,263 @@
+"""Depth-map fusion into a point cloud (reference: RunFusion / RunFusion_TAT_I
+/ RunFusion_TAT_A + WeakVisFilter, APD.cpp:962-1608).
+
+Vectorized re-architecture: the reference's serial CPU triple loop becomes
+whole-image array math per (ref view, neighbor) pair. The reference consumes
+matched source pixels while scanning pixels serially; we apply consumption at
+ref-view granularity (all pixels of a view observe the mask state from the
+view's start, and consumed pixels are committed afterwards). This keeps the
+cross-view dedup semantics while exposing full parallelism; within-view
+double-counting is possible where the reference would have suppressed a
+second match onto the same source pixel.
+
+Deviation from the reference, by design: WeakVisFilter compares confidences
+by value — the reference reads the uchar confidence mat through a float
+accessor (APD.cpp:1010), which reinterprets 4 bytes as a float; we implement
+the evident intent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..config import FusionParams, STRONG, UNKNOWN, WEAK
+from ..io import read_bin_mat
+from ..io.cameras import Camera, read_camera
+from ..io.images import read_image_color, resize_bilinear, write_image
+from ..io.ply import export_point_cloud
+
+
+@dataclasses.dataclass
+class FusionView:
+    image: np.ndarray        # (H, W, 3) uint8 BGR at depth resolution
+    camera: Camera
+    depth: np.ndarray        # (H, W) f32
+    normal: np.ndarray       # (H, W, 3) f32
+    weak: np.ndarray         # (H, W) uint8
+    confidence: np.ndarray   # (H, W) uint8
+    skip: np.ndarray         # (H, W) bool  (visibility-conflict filter)
+    mask: np.ndarray         # (H, W) bool  (consumed)
+
+
+def _backproject_world(cam: Camera, xs, ys, depth):
+    X = np.stack([depth * (xs - cam.K[0, 2]) / cam.K[0, 0],
+                  depth * (ys - cam.K[1, 2]) / cam.K[1, 1],
+                  depth], axis=-1)
+    return X @ np.asarray(cam.R) + cam.c
+
+
+def _project(cam: Camera, Xw):
+    Xc = (Xw - cam.c) @ np.asarray(cam.R).T
+    d = Xc[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = (cam.K[0, 0] * Xc[..., 0] + cam.K[0, 2] * Xc[..., 2]) / d
+        y = (cam.K[1, 1] * Xc[..., 1] + cam.K[1, 2] * Xc[..., 2]) / d
+    return x, y, d
+
+
+def load_fusion_views(dense_folder, problems, cache=None) -> List[FusionView]:
+    dense_folder = Path(dense_folder)
+    views = []
+    for p in problems:
+        img = read_image_color(
+            dense_folder / "images" / (f"{p.ref_image_id:08d}" + p.img_ext))
+        cam = read_camera(
+            dense_folder / "cams" / (f"{p.ref_image_id:08d}_cam.txt"),
+            cache=cache)
+        depth = read_bin_mat(p.result_folder / "depths.bin", cache=cache)
+        normal = read_bin_mat(p.result_folder / "normals.bin", cache=cache)
+        weak = read_bin_mat(p.result_folder / "weak.bin", cache=cache)
+        conf = read_bin_mat(p.result_folder / "confidence.bin", cache=cache)
+        h, w = depth.shape
+        if img.shape[:2] != (h, w):
+            sy, sx = h / img.shape[0], w / img.shape[1]
+            img = resize_bilinear(img, (h, w))
+            cam = cam.scaled(sx, sy, w, h)
+        else:
+            cam = dataclasses.replace(cam, width=w, height=h)
+        views.append(FusionView(
+            image=img, camera=cam, depth=depth.astype(np.float32),
+            normal=normal.astype(np.float32), weak=weak.astype(np.uint8),
+            confidence=conf.astype(np.uint8),
+            skip=np.zeros((h, w), bool), mask=np.zeros((h, w), bool)))
+    return views
+
+
+def weak_vis_filter(views: Sequence[FusionView], problems, dense_folder,
+                    params: FusionParams) -> None:
+    """Visibility-conflict filter over weak pixels (reference: WeakVisFilter,
+    APD.cpp:962-1049): a weak point is skipped when it floats in front of
+    enough higher-priority surfaces in other views."""
+    n = len(views)
+    for ri, rv in enumerate(views):
+        h, w = rv.depth.shape
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        weak_sel = rv.weak == WEAK
+        Xw = _backproject_world(rv.camera, xs, ys, rv.depth)
+        strong_occ = np.zeros((h, w), np.int32)
+        weak_occ = np.zeros((h, w), np.int32)
+        for si, sv in enumerate(views):
+            if si == ri:
+                continue
+            a = rv.camera.c - Xw
+            b = sv.camera.c - Xw
+            cosang = (a * b).sum(-1) / np.maximum(
+                np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-12)
+            angle = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+            px, py, pd = _project(sv.camera, Xw)
+            sr = np.floor(py + 0.5).astype(np.int64)
+            sc = np.floor(px + 0.5).astype(np.int64)
+            sh, sw = sv.depth.shape
+            inb = (pd > 0) & (sc >= 0) & (sc < sw) & (sr >= 0) & (sr < sh) \
+                & (angle <= params.vis_max_baseline_deg)
+            src = np.clip(sr, 0, sh - 1)
+            scc = np.clip(sc, 0, sw - 1)
+            s_depth = sv.depth[src, scc]
+            s_weak = sv.weak[src, scc]
+            s_conf = sv.confidence[src, scc]
+            occluded = inb & (pd < s_depth - params.vis_depth_margin * s_depth)
+            strong_occ += (occluded & (s_weak == STRONG)).astype(np.int32)
+            weak_occ += (occluded & (s_weak == WEAK)
+                         & (s_conf < rv.confidence)).astype(np.int32)
+        rv.skip = weak_sel & ((strong_occ >= params.strong_occluded_max)
+                              | (weak_occ >= params.weak_occluded_max))
+        out = Path(dense_folder) / "APD" / f"{problems[ri].ref_image_id:08d}" \
+            / "skip.png"
+        write_image(out, (rv.skip * 255).astype(np.uint8))
+
+
+def _neighbor_geometry(rv: FusionView, sv: FusionView, Xw):
+    """Projection of a ref view's world points into a neighbor: returns
+    (usable, reproj error, relative depth diff, normal angle, src rows/cols)."""
+    px, py, pd = _project(sv.camera, Xw)
+    sr = np.floor(py + 0.5).astype(np.int64)
+    sc = np.floor(px + 0.5).astype(np.int64)
+    sh, sw = sv.depth.shape
+    inb = (sc >= 0) & (sc < sw) & (sr >= 0) & (sr < sh)
+    src = np.clip(sr, 0, sh - 1)
+    scc = np.clip(sc, 0, sw - 1)
+    s_depth = sv.depth[src, scc]
+    usable = inb & ~sv.mask[src, scc] & (s_depth > 0)
+    ys2, xs2 = src.astype(np.float32), scc.astype(np.float32)
+    Xs = _backproject_world(sv.camera, xs2, ys2, s_depth)
+    bx, by, bd = _project(rv.camera, Xs)
+    h, w = rv.depth.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    reproj = np.sqrt((xx - bx) ** 2 + (yy - by) ** 2)
+    rel_depth = np.abs(bd - rv.depth) / np.maximum(rv.depth, 1e-12)
+    s_normal = sv.normal[src, scc]
+    dot = (rv.normal * s_normal).sum(-1)
+    denom = np.linalg.norm(rv.normal, axis=-1) * np.linalg.norm(s_normal, axis=-1)
+    ang = np.arccos(np.clip(dot / np.maximum(denom, 1e-12), -1, 1))
+    ang = np.where(np.isfinite(ang), ang, 0.0)
+    return usable, reproj, rel_depth, ang, src, scc
+
+
+def run_fusion(dense_folder, problems, name: str, params: FusionParams,
+               export_color: bool = True, cache=None) -> Path:
+    """Fuse all views' depth maps into one PLY (dispatches on variant)."""
+    views = load_fusion_views(dense_folder, problems, cache=cache)
+    if cache is not None:
+        cache.img_cache.clear()
+    if params.weak_filter:
+        weak_vis_filter(views, problems, dense_folder, params)
+    if params.variant == "general":
+        coords, colors = _fuse_general(views, problems, params)
+    else:
+        coords, colors = _fuse_tat(views, problems, params,
+                                   advanced=(params.variant == "tat_a"))
+    ply_path = Path(dense_folder) / "APD" / name
+    export_point_cloud(ply_path, coords,
+                       colors if export_color else None)
+    print(f"Fusion: {len(coords)} points -> {ply_path}", flush=True)
+    return ply_path
+
+
+def _fuse_general(views, problems, params: FusionParams):
+    """Dynamic-consistency fusion (reference: RunFusion, APD.cpp:1051-1227)."""
+    all_pts, all_cols = [], []
+    id_to_index = {p.ref_image_id: i for i, p in enumerate(problems)}
+    for ri, p in enumerate(problems):
+        rv = views[ri]
+        h, w = rv.depth.shape
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = (~rv.mask) & (~rv.skip) & (rv.depth > 0)
+        Xw = _backproject_world(rv.camera, xs, ys, rv.depth)
+        num_consistent = np.zeros((h, w), np.int32)
+        dyn = np.zeros((h, w), np.float64)
+        used = []
+        for sid in p.src_image_ids:
+            sv = views[id_to_index[sid]]
+            usable, reproj, rel_d, ang, src, scc = _neighbor_geometry(rv, sv, Xw)
+            ok = usable & (reproj < params.reproj_max) \
+                & (rel_d < params.rel_depth_max) & (ang < params.angle_max)
+            num_consistent += ok.astype(np.int32)
+            dyn += np.where(ok, np.exp(-(reproj + 200.0 * rel_d + 10.0 * ang)),
+                            0.0)
+            used.append((sv, ok, src, scc))
+        factor = np.where(rv.weak == WEAK, params.dyn_factor_weak,
+                          params.dyn_factor_strong)
+        accept = base & (num_consistent >= 1) & (dyn > factor * num_consistent)
+        color = rv.image.astype(np.float64).copy()
+        for sv, ok, src, scc in used:
+            take = accept & ok
+            color[take] += sv.image[src[take], scc[take]]
+            sv.mask[src[take], scc[take]] = True
+        color[accept] /= (num_consistent[accept] + 1)[:, None]
+        all_pts.append(Xw[accept].astype(np.float32))
+        all_cols.append(np.clip(color[accept], 0, 255).astype(np.uint8))
+    return np.concatenate(all_pts), np.concatenate(all_cols)
+
+
+def _fuse_tat(views, problems, params: FusionParams, advanced: bool):
+    """Escalating-k consensus fusion (reference: RunFusion_TAT_I/_TAT_A,
+    APD.cpp:1229-1608). The advanced variant drops the normal-angle test."""
+    all_pts, all_cols = [], []
+    id_to_index = {p.ref_image_id: i for i, p in enumerate(problems)}
+    depth_base = params.depth_base_tat_a if advanced else params.depth_base_tat_i
+    for ri, p in enumerate(problems):
+        rv = views[ri]
+        h, w = rv.depth.shape
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = (~rv.skip) & (rv.depth > 0)
+        Xw = _backproject_world(rv.camera, xs, ys, rv.depth)
+        num_ngb = len(p.src_image_ids)
+        geo = []
+        for sid in p.src_image_ids:
+            sv = views[id_to_index[sid]]
+            usable, reproj, rel_d, ang, src, scc = _neighbor_geometry(rv, sv, Xw)
+            geo.append((sv, usable, reproj, rel_d, ang, src, scc))
+        accepted = np.zeros((h, w), bool)
+        count_at_accept = np.zeros((h, w), np.int32)
+        use_at_accept = [np.zeros((h, w), bool) for _ in range(num_ngb)]
+        for k in range(2, num_ngb + 1):
+            oks = []
+            count = np.zeros((h, w), np.int32)
+            for (sv, usable, reproj, rel_d, ang, src, scc) in geo:
+                ok = usable & (reproj < k * params.dist_base) \
+                    & (rel_d < k * depth_base)
+                if not advanced:
+                    ok &= ang < (k * params.angle_grad + params.angle_base)
+                oks.append(ok)
+                count += ok.astype(np.int32)
+            newly = base & ~accepted & (count >= k)
+            accepted |= newly
+            count_at_accept = np.where(newly, count, count_at_accept)
+            if not advanced:
+                for j, ok in enumerate(oks):
+                    use_at_accept[j] |= newly & ok
+        rv.mask |= accepted
+        color = rv.image.astype(np.float64).copy()
+        if not advanced:
+            for j, g in enumerate(geo):
+                sv, src, scc = g[0], g[5], g[6]
+                take = use_at_accept[j]
+                color[take] += sv.image[src[take], scc[take]]
+            color[accepted] /= (count_at_accept[accepted] + 1)[:, None]
+        all_pts.append(Xw[accepted].astype(np.float32))
+        all_cols.append(np.clip(color[accepted], 0, 255).astype(np.uint8))
+    return np.concatenate(all_pts), np.concatenate(all_cols)

@@ -49,7 +49,10 @@ def main(argv=None) -> int:
         print(f"{k:14s}: {v}")
     print("============================================================")
 
+    from ..core.platform import enable_compilation_cache
     from ..pipeline.driver import run_scan
+
+    enable_compilation_cache()
 
     run_scan(
         args.dense_folder, dataset=args.dataset,

@@ -67,6 +67,18 @@ def bilinear_sample(img: jnp.ndarray, x, y):
     return top * (1 - fy) + bot * fy
 
 
+def take_rows(flat: jnp.ndarray, idx):
+    """Row gather that avoids XLA:TPU's pathological scalar-gather
+    legalization: 1-D tables compile ~18x slower than (N, C>=2) row tables,
+    so scalar tables are widened to row pairs before the take."""
+    if flat.ndim == 1:
+        return jnp.take(jnp.stack([flat, flat], axis=-1), idx, axis=0)[..., 0]
+    if flat.shape[-1] == 1:
+        wide = jnp.concatenate([flat, flat], axis=-1)
+        return jnp.take(wide, idx, axis=0)[..., :1]
+    return jnp.take(flat, idx, axis=0)
+
+
 def texel_fetch(img: jnp.ndarray, x, y):
     """Integer pixel fetch at truncated coordinates with clamped edges —
     the reference's `tex2D(img, (int)x + 0.5, (int)y + 0.5)` idiom used for
@@ -74,7 +86,7 @@ def texel_fetch(img: jnp.ndarray, x, y):
     h, w = img.shape
     xi = jnp.clip(x.astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(y.astype(jnp.int32), 0, h - 1)
-    return jnp.take(img.reshape(-1), yi * w + xi)
+    return take_rows(img.reshape(-1), yi * w + xi)
 
 
 def fetch(arr: jnp.ndarray, xi, yi, fill=0):
@@ -85,7 +97,7 @@ def fetch(arr: jnp.ndarray, xi, yi, fill=0):
     xic = jnp.clip(xi, 0, w - 1)
     yic = jnp.clip(yi, 0, h - 1)
     flat = arr.reshape((h * w,) + arr.shape[2:])
-    v = jnp.take(flat, yic * w + xic, axis=0)
+    v = take_rows(flat, yic * w + xic)
     if arr.ndim > 2:
         inb = inb.reshape(inb.shape + (1,) * (arr.ndim - 2))
     return jnp.where(inb, v, jnp.asarray(fill, arr.dtype))

@@ -101,7 +101,9 @@ def nearest_strong_jfa(weak: jnp.ndarray, confidence: jnp.ndarray,
 
 def _radius_schedule(budget: int = 25) -> np.ndarray:
     """Subsampled version of the reference's r <- min(2r, r+25) expansion
-    (APD.cu:1915) from 2 to MAX_SEARCH_RADIUS."""
+    (APD.cu:1915) from 2 to MAX_SEARCH_RADIUS. Subsampling is geometric in
+    radius VALUE so the dense small-radius steps (where anchors actually
+    live) are all kept and the +25 linear tail is thinned."""
     full = []
     r = 2
     while r <= MAX_SEARCH_RADIUS:
@@ -109,8 +111,11 @@ def _radius_schedule(budget: int = 25) -> np.ndarray:
         r = min(2 * r, r + 25)
     if len(full) <= budget:
         return np.asarray(full, np.int32)
-    idx = np.unique(np.round(np.linspace(0, len(full) - 1, budget)).astype(int))
-    return np.asarray([full[i] for i in idx], np.int32)
+    targets = np.geomspace(2, full[-1], budget)
+    full_arr = np.asarray(full)
+    picked = sorted({int(full_arr[np.argmin(np.abs(full_arr - t))])
+                     for t in targets})
+    return np.asarray(picked, np.int32)
 
 
 def _direction_table(rotate_time: int) -> np.ndarray:

@@ -87,15 +87,20 @@ class CostData:
 
 
 class RefWindow(NamedTuple):
-    """Pixel-batch reference-side window data, independent of candidate/view."""
+    """Pixel-batch reference-side window data, independent of candidate/view.
 
-    tap_dx: jnp.ndarray    # (B, T) f32
-    tap_dy: jnp.ndarray    # (B, T)
+    tap_dx/tap_dy/tap_w are (T,) shared constants in the plain case and
+    (B, T) arrays in the SA-mixed case — keeping the shared case tiny matters:
+    a broadcast (B, T) constant would be constant-folded by XLA into tens of
+    MB and dominate compile time."""
+
+    tap_dx: jnp.ndarray    # (T,) or (B, T) f32
+    tap_dy: jnp.ndarray    # (T,) or (B, T)
     tap_val: jnp.ndarray   # (B, T) ref image values
-    tap_w: jnp.ndarray     # (B, T) 0/1 tap weights
+    tap_w: jnp.ndarray     # (T,) or (B, T) 0/1 tap weights
     sum_ref: jnp.ndarray   # (B,)
     sum_rr: jnp.ndarray    # (B,)
-    wsum: jnp.ndarray      # (B,)
+    wsum: jnp.ndarray      # (B,) or scalar
 
 
 def precompute_ref_window(data: CostData, x, y, radius: int, increment: int,
@@ -116,16 +121,17 @@ def precompute_ref_window(data: CostData, x, y, radius: int, increment: int,
     xi = x.astype(jnp.int32)
     yi = y.astype(jnp.int32)
     if not use_sa:
-        dx = jnp.broadcast_to(sq[None, :, 0], B + (sq.shape[0],))
-        dy = jnp.broadcast_to(sq[None, :, 1], B + (sq.shape[0],))
+        dx = sq[:, 0]
+        dy = sq[:, 1]
         # clamped fetch for values (texture semantics), but weight stays 1
-        valc = _clamped_fetch(data.ref_image, xi[..., None] + dx,
-                              yi[..., None] + dy)
-        w = jnp.ones_like(valc)
+        valc = _clamped_fetch(data.ref_image, xi[..., None] + dx[None, :],
+                              yi[..., None] + dy[None, :])
+        w = jnp.ones((sq.shape[0],), jnp.float32)
         sum_ref = valc.sum(-1)
         sum_rr = (valc * valc).sum(-1)
+        wsum = jnp.float32(sq.shape[0])
         return RefWindow(dx.astype(jnp.float32), dy.astype(jnp.float32),
-                         valc, w, sum_ref, sum_rr, w.sum(-1))
+                         valc, w, sum_ref, sum_rr, wsum)
 
     st = jnp.asarray(star_taps())                        # (36, 2)
     center_sa = fetch(data.sa_mask, xi, yi)              # (B,)
@@ -162,10 +168,11 @@ def precompute_ref_window(data: CostData, x, y, radius: int, increment: int,
 
 
 def _clamped_fetch(arr, xi, yi):
+    from ..core.sampling import take_rows
     h, w = arr.shape
     xc = jnp.clip(xi, 0, w - 1)
     yc = jnp.clip(yi, 0, h - 1)
-    return jnp.take(arr.reshape(-1), yc * w + xc)
+    return take_rows(arr.reshape(-1), yc * w + xc)
 
 
 def ncc_from_sums(sum_ref, sum_rr, sum_src, sum_ss, sum_rs, wsum):
@@ -191,7 +198,9 @@ def ncc_from_sums(sum_ref, sum_rr, sum_src, sum_ss, sum_rs, wsum):
 def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow):
     """NCC cost of `plane` at pixels (x, y) against one source view.
 
-    x, y: (B,) f32; plane: (B, 4). Returns (B,) cost.
+    x, y: (B,) f32; plane: (B, 4). Returns (B,) cost. All taps are evaluated
+    as one (B, T) batched warp + gather — large fused ops keep the TPU's
+    gather pipeline saturated instead of dispatching T tiny kernels.
     """
     src_cam = data.src_cams.view(src_index)
     quad = data.src_quads[src_index]
@@ -199,20 +208,14 @@ def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow):
     cx, cy = geo.warp(H, x, y)
     oob = (cx < 0) | (cx >= data.width) | (cy < 0) | (cy >= data.height)
 
-    T = win.tap_dx.shape[-1]
-
-    def tap_body(t, sums):
-        s_src, s_ss, s_rs = sums
-        tx = x + win.tap_dx[..., t]
-        ty = y + win.tap_dy[..., t]
-        wx, wy = geo.warp(H, tx, ty)
-        sv = bilinear_sample_packed(quad, data.width, data.height, wx, wy)
-        tw = win.tap_w[..., t]
-        rv = win.tap_val[..., t]
-        return (s_src + tw * sv, s_ss + tw * sv * sv, s_rs + tw * rv * sv)
-
-    zeros = jnp.zeros_like(x)
-    s_src, s_ss, s_rs = jax.lax.fori_loop(0, T, tap_body, (zeros, zeros, zeros))
+    tx = x[..., None] + win.tap_dx                       # (B, T)
+    ty = y[..., None] + win.tap_dy
+    wx, wy = geo.warp(H[..., None, :, :], tx, ty)
+    sv = bilinear_sample_packed(quad, data.width, data.height, wx, wy)
+    tw = win.tap_w
+    s_src = (tw * sv).sum(-1)
+    s_ss = (tw * sv * sv).sum(-1)
+    s_rs = (tw * win.tap_val * sv).sum(-1)
     cost = ncc_from_sums(win.sum_ref, win.sum_rr, s_src, s_ss, s_rs, win.wsum)
     return jnp.where(oob, COST_MAX, cost)
 

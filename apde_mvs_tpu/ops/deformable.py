@@ -54,14 +54,15 @@ class WeakRefData(NamedTuple):
         # no truncation — NCC-New `continue` semantics, APD.cu:523-541)
         sq = jnp.asarray(cost_ops.square_taps(params.strong_radius,
                                               params.strong_increment))
-        cdx = jnp.broadcast_to(sq[None, :, 0], x.shape + (sq.shape[0],))
-        cdy = jnp.broadcast_to(sq[None, :, 1], x.shape + (sq.shape[0],))
+        cdx = sq[None, :, 0]          # (1, T) — broadcasts, never folded big
+        cdy = sq[None, :, 1]
         center_sa = fetch(data.sa_mask, xi, yi)
         in_seg = (center_sa > 0) if use_sa else jnp.zeros_like(center_sa, bool)
 
         def sa_weights(tx, ty):
             if not use_sa:
-                return jnp.ones(tx.shape, jnp.float32)
+                # shared scalar weight — avoids a (B, T) folded constant
+                return jnp.ones((1,) * tx.ndim, jnp.float32)
             tap_sa = fetch(data.sa_mask, tx, ty)
             keep = ~in_seg.reshape(in_seg.shape + (1,) * (tx.ndim - 1)) \
                 | (tap_sa == center_sa.reshape(
@@ -72,9 +73,10 @@ class WeakRefData(NamedTuple):
         cty = yi[..., None] + cdy
         cw = sa_weights(ctx, cty)
         cval = cost_ops._clamped_fetch(data.ref_image, ctx, cty)
+        c_wsum = cw.sum(-1) if use_sa else jnp.float32(sq.shape[0])
         center_win = RefWindow(
             cdx.astype(jnp.float32), cdy.astype(jnp.float32), cval, cw,
-            (cw * cval).sum(-1), (cw * cval * cval).sum(-1), cw.sum(-1))
+            (cw * cval).sum(-1), (cw * cval * cval).sum(-1), c_wsum)
 
         ax = anchors[..., 1:, 0]
         ay = anchors[..., 1:, 1]
@@ -96,13 +98,15 @@ class WeakRefData(NamedTuple):
         ty = ayc[..., None] + wk[None, None, :, 1]
         tw = sa_weights(tx, ty)
         tval = cost_ops._clamped_fetch(data.ref_image, tx, ty)
+        t_wsum = tw.sum(-1) if use_sa else \
+            jnp.full(tval.shape[:-1], float(wk.shape[0]), jnp.float32)
         return WeakRefData(
             x=x, y=y, center_win=center_win,
             anchor_x=ax.astype(jnp.float32), anchor_y=ay.astype(jnp.float32),
             anchor_valid=valid, anchor_sel=sel,
             tap_val=tval, tap_w=tw,
             sum_ref=(tw * tval).sum(-1), sum_rr=(tw * tval * tval).sum(-1),
-            wsum=tw.sum(-1))
+            wsum=t_wsum)
 
 
 def _softmax_weighted(costs, mask):
@@ -126,22 +130,17 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
     cx, cy = geo.warp(H, x, y)
     center_oob = (cx < 0) | (cx >= data.width) | (cy < 0) | (cy >= data.height)
 
-    # anchor 0 (the pixel) with the strong window
+    # anchor 0 (the pixel) with the strong window — batched (B, T) taps
     win = wref.center_win
-    T = win.tap_dx.shape[-1]
-
-    def tap_body(t, sums):
-        s_src, s_ss, s_rs = sums
-        wx, wy = geo.warp(H, x + win.tap_dx[..., t], y + win.tap_dy[..., t])
-        sv = bilinear_sample_packed(quad, data.width, data.height, wx, wy)
-        tw = win.tap_w[..., t]
-        rv = win.tap_val[..., t]
-        return (s_src + tw * sv, s_ss + tw * sv * sv, s_rs + tw * rv * sv)
-
-    zeros = jnp.zeros_like(x)
-    s_src, s_ss, s_rs = jax.lax.fori_loop(0, T, tap_body, (zeros, zeros, zeros))
+    ctx = x[..., None] + win.tap_dx
+    cty = y[..., None] + win.tap_dy
+    cwx, cwy = geo.warp(H[..., None, :, :], ctx, cty)
+    csv = bilinear_sample_packed(quad, data.width, data.height, cwx, cwy)
+    ctw = win.tap_w
     center_cost = cost_ops.ncc_from_sums(
-        win.sum_ref, win.sum_rr, s_src, s_ss, s_rs, win.wsum)
+        win.sum_ref, win.sum_rr, (ctw * csv).sum(-1),
+        (ctw * csv * csv).sum(-1), (ctw * win.tap_val * csv).sum(-1),
+        win.wsum)
 
     # anchors 1..8 with sparse windows — one vectorized (B, 8, T') gather pass
     awx, awy = geo.warp(H[..., None, :, :], wref.anchor_x, wref.anchor_y)

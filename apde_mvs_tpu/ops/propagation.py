@@ -172,17 +172,22 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
 
     cand_x, cand_y, flags = checkerboard_candidates(state.costs, x, y)
     cand_planes = fetch(state.planes, cand_x, cand_y)          # (B, 8, 4)
+    cur_plane = fetch(state.planes, x, y)
 
     win = precompute_ref_window(data, xf, yf, cfg.strong_radius,
                                 cfg.strong_increment, cfg.use_sa)
 
+    # candidates + the current plane share one scan body (one compiled NCC
+    # kernel instead of two — XLA:TPU compile time is per unique body)
+    all_planes = jnp.concatenate([cand_planes, cur_plane[:, None]], axis=1)
+
     def cand_cost(c, _):
-        plane_c = cand_planes[:, c]
-        costs_c = ncc_strong(data, xf, yf, plane_c, win)        # (B, S)
+        costs_c = ncc_strong(data, xf, yf, all_planes[:, c], win)  # (B, S)
         return c + 1, costs_c
 
-    _, cost_array = jax.lax.scan(cand_cost, 0, None, length=8)
-    cost_array = jnp.moveaxis(cost_array, 0, 1)                # (B, 8, S)
+    _, all_costs = jax.lax.scan(cand_cost, 0, None, length=9)
+    all_costs = jnp.moveaxis(all_costs, 0, 1)                  # (B, 9, S)
+    cost_array = all_costs[:, :8]
     # invalid regions keep ~zero rows (C aggregate-init quirk, see module doc)
     cost_array = jnp.where(flags[..., None], cost_array, 0.0)
 
@@ -200,8 +205,7 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
 
     final_costs = (vw[:, None, :] * cost_array).sum(-1) * inv_norm[:, None]
 
-    cur_plane = fetch(state.planes, x, y)
-    cost_now_vec = ncc_strong(data, xf, yf, cur_plane, win)
+    cost_now_vec = all_costs[:, 8]
     if cfg.geom_consistency and cfg.use_impetus:
         cost_now_vec = cost_now_vec + geom_factor * geom_cost(
             data, xf, yf, cur_plane)
@@ -306,14 +310,20 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
     a_state = fetch(state.weak, jnp.maximum(a_x, 0), jnp.maximum(a_y, 0))
     flags = exists & (a_state == STRONG)
     cand_planes = fetch(state.planes, jnp.maximum(a_x, 0), jnp.maximum(a_y, 0))
+    cur_plane = fetch(state.planes, x, y)
+
+    # one scan body evaluates candidates + current + fit plane (compile-time:
+    # one deformable-NCC kernel instead of three)
+    all_planes = jnp.concatenate(
+        [cand_planes, cur_plane[:, None], fit_planes[:, None]], axis=1)
 
     def cand_cost(c, _):
-        costs_c = ncc_weak(data, wref, cand_planes[:, c], cfg)
+        costs_c = ncc_weak(data, wref, all_planes[:, c], cfg)
         return c + 1, costs_c
 
-    _, cost_array = jax.lax.scan(cand_cost, 0, None, length=8)
-    cost_array = jnp.moveaxis(cost_array, 0, 1)               # (Nw, 8, S)
-    cost_array = jnp.where(flags[..., None], cost_array, 0.0)
+    _, all_costs = jax.lax.scan(cand_cost, 0, None, length=10)
+    all_costs = jnp.moveaxis(all_costs, 0, 1)                 # (Nw, 10, S)
+    cost_array = jnp.where(flags[..., None], all_costs[:, :8], 0.0)
 
     # priors from all existing anchors (reference gates only on -1 here)
     nb_sel = wref.anchor_sel
@@ -325,21 +335,20 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
     inv_norm = jnp.where(has_views, 1.0 / jnp.maximum(wnorm, 1e-20), 0.0)
 
     if cfg.geom_consistency:
-        def cand_geom(c, _):
-            return c + 1, geom_cost(data, xf, yf, cand_planes[:, c])
-        _, gcosts = jax.lax.scan(cand_geom, 0, None, length=8)
-        gcosts = jnp.moveaxis(gcosts, 0, 1)                    # (Nw, 8, S)
-        gcosts = jnp.where(flags[..., None], gcosts, GEOM_COST_MAX)
-        total = cost_array + geom_factor * gcosts
+        def all_geom(c, _):
+            return c + 1, geom_cost(data, xf, yf, all_planes[:, c])
+        _, gcosts = jax.lax.scan(all_geom, 0, None, length=10)
+        gcosts = jnp.moveaxis(gcosts, 0, 1)                    # (Nw, 10, S)
+        gc_cand = jnp.where(flags[..., None], gcosts[:, :8], GEOM_COST_MAX)
+        total = cost_array + geom_factor * gc_cand
     else:
+        gcosts = None
         total = cost_array
     final_costs = (vw[:, None, :] * total).sum(-1) * inv_norm[:, None]
 
-    cur_plane = fetch(state.planes, x, y)
-    cost_now_vec = ncc_weak(data, wref, cur_plane, cfg)
+    cost_now_vec = all_costs[:, 8]
     if cfg.geom_consistency:
-        cost_now_vec = cost_now_vec + geom_factor * geom_cost(
-            data, xf, yf, cur_plane)
+        cost_now_vec = cost_now_vec + geom_factor * gcosts[:, 8]
     cost_now = (vw * cost_now_vec).sum(-1) * inv_norm
     cost_recomputed = jnp.where(has_views, cost_now, COST_MAX)
 
@@ -364,7 +373,10 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
             cv = cv + geom_factor * geom_cost(data, xf, yf, plane_i)
         return (vw * cv).sum(-1) * inv_norm
 
-    fit_cost = eval_plane(fit_planes)
+    fit_cost_vec = all_costs[:, 9]
+    if cfg.geom_consistency:
+        fit_cost_vec = fit_cost_vec + geom_factor * gcosts[:, 9]
+    fit_cost = (vw * fit_cost_vec).sum(-1) * inv_norm
     fit_depth = geo.depth_from_plane(cam, fit_planes, xf, yf)
     take_fit = fit_ok & (fit_depth >= depth_min) & (fit_depth <= depth_max) \
         & (fit_cost < cost_cur) & has_views

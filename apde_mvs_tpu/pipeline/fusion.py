@@ -100,6 +100,20 @@ def weak_vis_filter(views: Sequence[FusionView], problems, dense_folder,
         Xw = _backproject_world(rv.camera, xs, ys, rv.depth)
         strong_occ = np.zeros((h, w), np.int32)
         weak_occ = np.zeros((h, w), np.int32)
+        from ..io import native
+        if native.native_available():
+            for si, sv in enumerate(views):
+                if si != ri:
+                    native.weak_vis_accumulate(
+                        rv, sv, params.vis_max_baseline_deg,
+                        params.vis_depth_margin, strong_occ, weak_occ)
+            rv.skip = weak_sel & (
+                (strong_occ >= params.strong_occluded_max)
+                | (weak_occ >= params.weak_occluded_max))
+            out = Path(dense_folder) / "APD" \
+                / f"{problems[ri].ref_image_id:08d}" / "skip.png"
+            write_image(out, (rv.skip * 255).astype(np.uint8))
+            continue
         for si, sv in enumerate(views):
             if si == ri:
                 continue
@@ -132,7 +146,13 @@ def weak_vis_filter(views: Sequence[FusionView], problems, dense_folder,
 
 def _neighbor_geometry(rv: FusionView, sv: FusionView, Xw):
     """Projection of a ref view's world points into a neighbor: returns
-    (usable, reproj error, relative depth diff, normal angle, src rows/cols)."""
+    (usable, reproj error, relative depth diff, normal angle, src rows/cols).
+    Uses the native C++ kernel when built (native/apde_native.cpp), falling
+    back to vectorized numpy."""
+    from ..io import native
+    out = native.fusion_neighbor_geometry(rv, sv)
+    if out is not None:
+        return out
     px, py, pd = _project(sv.camera, Xw)
     sr = np.floor(py + 0.5).astype(np.int64)
     sc = np.floor(px + 0.5).astype(np.int64)

@@ -117,26 +117,42 @@ def _jit_init(shape, num_src, cfg: StaticCfg, nw: int, first_init: bool):
 
 @functools.lru_cache(maxsize=64)
 def _jit_iterations(shape, num_src, cfg: StaticCfg, nw: int):
+    """The iteration loop as nested lax.scans so every repeated stage (color
+    sweeps, iterations) compiles exactly one body — XLA:TPU compile time is
+    proportional to the number of distinct NCC bodies, not iterations."""
+
     def f(data, state, key, weak_x, weak_y, weak_valid, anchors,
           depth_min, depth_max, geom_factor):
-        for i in range(cfg.max_iterations):
-            for color in (0, 1):
-                key, k = jax.random.split(key)
-                state = propagate_strong(
-                    data, state, cfg.prop, i, k, color, depth_min, depth_max,
-                    geom_factor)
+        def color_sweep(carry, inp):
+            state, it = carry
+            color, kc = inp
+            state = propagate_strong(data, state, cfg.prop, it, kc, color,
+                                     depth_min, depth_max, geom_factor)
+            return (state, it), None
+
+        def iter_body(state, inp):
+            it, k = inp
+            k1, k2, k3 = jax.random.split(k, 3)
+            kcs = jax.random.split(k1, 2)
+            (state, _), _ = jax.lax.scan(
+                color_sweep, (state, it), (jnp.arange(2), kcs))
             if cfg.use_apd and nw > 0:
-                key, k1, k2 = jax.random.split(key, 3)
                 fit = anchor_ops.ransac_fit_planes(
-                    k1, data, state, weak_x, weak_y, weak_valid, anchors)
+                    k2, data, state, weak_x, weak_y, weak_valid, anchors)
                 state = propagate_weak(
-                    data, state, cfg.prop, i, k2, weak_x, weak_y, weak_valid,
+                    data, state, cfg.prop, it, k3, weak_x, weak_y, weak_valid,
                     anchors, fit, depth_min, depth_max, geom_factor)
-        # plane -> (world normal, depth); median filter both colors
+            return state, None
+
+        keys = jax.random.split(key, cfg.max_iterations)
+        state, _ = jax.lax.scan(
+            iter_body, state, (jnp.arange(cfg.max_iterations), keys))
+        # plane -> (world normal, depth); median filter both colors in order
         state = state.replace(planes=filters.planes_to_depth_normal(
             data, state.planes))
-        state = filters.median_filter_color(state, 0)
-        state = filters.median_filter_color(state, 1)
+        state, _ = jax.lax.scan(
+            lambda st, color: (filters.median_filter_color(st, color), None),
+            state, jnp.arange(2))
         return state
     return jax.jit(f)
 

@@ -1,0 +1,90 @@
+"""Benchmark: PatchMatch propagation/cost throughput on one chip.
+
+Measures the hot path (checkerboard strong sweeps: candidate evaluation +
+view selection + refinement, i.e. the reference's Black/RedPixelUpdateStrong
+pipeline) on an ETH3D-like working size: 800x608 pixels, 10 source views.
+
+Metric: million depth-hypotheses per second per chip, where one hypothesis =
+one (pixel, candidate plane) multi-view NCC evaluation over all sources
+(14 hypotheses per pixel per sweep: 8 checkerboard candidates + the current
+plane + 5 refinement probes). Baseline target: 5 MP-hyp/s/chip
+(BASELINE.md north-star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from apde_mvs_tpu.core.platform import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from apde_mvs_tpu.core import geometry as geo
+    from apde_mvs_tpu.ops.cost import CostData
+    from apde_mvs_tpu.ops.init import initial_cost, random_planes
+    from apde_mvs_tpu.ops.propagation import PropCfg, propagate_strong
+    from apde_mvs_tpu.ops.state import PMState
+    from apde_mvs_tpu.config import PatchMatchParams
+    from apde_mvs_tpu.testing import synthetic
+
+    height, width, num_views = 600, 800, 11
+    scene = synthetic.make_scene(num_views=num_views, height=height,
+                                 width=width, baseline=0.12)
+    cams = geo.CameraArrays.from_cameras(scene.cameras)
+    src_ids = np.asarray([v for v in range(num_views) if v != 0])
+    data = CostData.build(
+        cams.view(0), geo.CameraArrays(*[a[src_ids] for a in cams]),
+        jnp.asarray(scene.images[0]), jnp.asarray(scene.images[src_ids]))
+
+    params = PatchMatchParams()
+    cfg = PropCfg(use_sa=False)
+    key = jax.random.PRNGKey(0)
+    dmin = jnp.float32(scene.cameras[0].depth_min * 0.6)
+    dmax = jnp.float32(scene.cameras[0].depth_max * 1.2)
+    state = PMState.create(height, width, data.num_src)
+    state = state.replace(planes=random_planes(key, data, dmin, dmax))
+    state = initial_cost(data, state, params, use_apd=False)
+
+    @jax.jit
+    def sweep(data, state, key):
+        def color_sweep(state, inp):
+            color, kc = inp
+            return propagate_strong(data, state, cfg, 0, kc, color, dmin,
+                                    dmax, jnp.float32(0.2)), None
+        kcs = jax.random.split(key, 2)
+        state, _ = jax.lax.scan(color_sweep, state, (jnp.arange(2), kcs))
+        return state
+
+    # warmup/compile
+    state = sweep(data, state, key)
+    jax.block_until_ready(state.costs)
+
+    iters = 6
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state = sweep(data, state, k)
+    jax.block_until_ready(state.costs)
+    dt = time.perf_counter() - t0
+
+    hypotheses_per_sweep = height * width * 14  # both colors together
+    mhyps = hypotheses_per_sweep * iters / dt / 1e6
+    print(json.dumps({
+        "metric": "patchmatch_hypotheses_throughput",
+        "value": round(mhyps, 3),
+        "unit": "MP-depth-hypotheses/s/chip",
+        "vs_baseline": round(mhyps / 5.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

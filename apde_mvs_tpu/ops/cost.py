@@ -231,6 +231,85 @@ def ncc_strong(data: CostData, x, y, plane, win: RefWindow) -> jnp.ndarray:
     return jnp.moveaxis(costs, 0, -1)
 
 
+def _gather_cams(cams: geo.CameraArrays, idx) -> geo.CameraArrays:
+    """Per-pixel camera selection: gather camera rows by view index (B, K)."""
+    return geo.CameraArrays(*[jnp.take(a, idx, axis=0) for a in cams])
+
+
+def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,
+                 sel_valid) -> jnp.ndarray:
+    """NCC of one plane per pixel against a per-pixel view subset.
+
+    sel_idx: (B, K) source-view indices; sel_valid: (B, K). Returns (B, K)
+    costs (COST_MAX on invalid slots). This is the exact-parity fast path for
+    the reference's `if (isSet(selected_views...))` loops (DepthToWeak,
+    LocalRefine, APD.cu:2173-2186, 2414-2422): only selected views are
+    sampled instead of sampling all views and masking.
+    """
+    B, K = sel_idx.shape
+    hw = data.height * data.width
+    src_cams = _gather_cams(data.src_cams, sel_idx)        # (B, K, ...)
+    quads = data.src_quads.reshape(-1, 4)                  # (S*HW, 4)
+
+    def slot(k, _):
+        cam_k = geo.CameraArrays(*[a[:, k] for a in src_cams])
+        H = geo.homography(data.ref_cam, cam_k, plane)
+        cx, cy = geo.warp(H, x, y)
+        oob = (cx < 0) | (cx >= data.width) | (cy < 0) | (cy >= data.height)
+        tx = x[..., None] + win.tap_dx
+        ty = y[..., None] + win.tap_dy
+        wx, wy = geo.warp(H[..., None, :, :], tx, ty)
+        wx = jnp.clip(wx, 0.0, data.width - 1.0)
+        wy = jnp.clip(wy, 0.0, data.height - 1.0)
+        x0 = jnp.floor(wx)
+        y0 = jnp.floor(wy)
+        fx = wx - x0
+        fy = wy - y0
+        base = sel_idx[:, k, None] * hw
+        rows = jnp.take(quads, base + y0.astype(jnp.int32) * data.width
+                        + x0.astype(jnp.int32), axis=0)
+        top = rows[..., 0] * (1 - fx) + rows[..., 1] * fx
+        bot = rows[..., 2] * (1 - fx) + rows[..., 3] * fx
+        sv = top * (1 - fy) + bot * fy
+        tw = win.tap_w
+        cost = ncc_from_sums(win.sum_ref, win.sum_rr, (tw * sv).sum(-1),
+                             (tw * sv * sv).sum(-1),
+                             (tw * win.tap_val * sv).sum(-1), win.wsum)
+        return k + 1, jnp.where(oob, COST_MAX, cost)
+
+    _, costs = jax.lax.scan(slot, 0, None, length=K)
+    costs = jnp.moveaxis(costs, 0, -1)
+    return jnp.where(sel_valid, costs, COST_MAX)
+
+
+def geom_selected(data: CostData, x, y, plane, sel_idx, sel_valid
+                  ) -> jnp.ndarray:
+    """Geometric consistency cost over a per-pixel view subset. (B, K)."""
+    depth = geo.depth_from_plane(data.ref_cam, plane, x, y)
+    Xw = geo.backproject_world(data.ref_cam, x, y, depth)
+    src_cams = _gather_cams(data.src_cams, sel_idx)
+    hw = data.height * data.width
+    depths_flat = data.src_depths.reshape(-1)
+
+    def slot(k, _):
+        cam_k = geo.CameraArrays(*[a[:, k] for a in src_cams])
+        sx, sy, _sd = geo.project(cam_k, Xw)
+        xi = jnp.clip(sx.astype(jnp.int32), 0, data.width - 1)
+        yi = jnp.clip(sy.astype(jnp.int32), 0, data.height - 1)
+        from ..core.sampling import take_rows
+        src_depth = take_rows(depths_flat,
+                              sel_idx[:, k] * hw + yi * data.width + xi)
+        Xs = geo.backproject_world(cam_k, sx, sy, src_depth)
+        bx, by, _bd = geo.project(data.ref_cam, Xs)
+        dist = jnp.sqrt((x - bx) ** 2 + (y - by) ** 2)
+        cost = jnp.minimum(GEOM_COST_MAX, dist)
+        return k + 1, jnp.where(src_depth == 0.0, GEOM_COST_MAX, cost)
+
+    _, costs = jax.lax.scan(slot, 0, None, length=sel_idx.shape[1])
+    costs = jnp.moveaxis(costs, 0, -1)
+    return jnp.where(sel_valid, costs, GEOM_COST_MAX)
+
+
 def geom_cost(data: CostData, x, y, plane) -> jnp.ndarray:
     """Geometric consistency cost vector (B, S): forward-backward reprojection
     distance against source depth maps, clamped to 3; missing source depth

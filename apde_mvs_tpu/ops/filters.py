@@ -142,14 +142,21 @@ class _SweepSetup(NamedTuple):
     depth: jnp.ndarray       # (B,)
     disp: jnp.ndarray        # (B,) current disparity f*B/d
     base_line: jnp.ndarray   # (B,)
-    vw: jnp.ndarray          # (B, S) selection-gated view weights
+    sel_idx: jnp.ndarray     # (B, K) compacted selected-view indices
+    sel_valid: jnp.ndarray   # (B, K)
+    sel_w: jnp.ndarray       # (B, K) view weights at the slots
     wnorm: jnp.ndarray       # (B,)
+
+
+_MAX_SWEEP_VIEWS = 8
 
 
 def _sweep_setup(data: CostData, state: PMState, x, y) -> _SweepSetup:
     """Shared setup of the disparity sweeps (reference: APD.cu:2121-2157,
     2356-2401): plane to camera frame, mean baseline of selected views,
-    selection-gated view weights."""
+    selection-gated view weights. The selected views are compacted to at
+    most _MAX_SWEEP_VIEWS per-pixel slots so the sweeps only sample views the
+    reference's `isSet(selected_views)` loops would touch."""
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     plane_world = fetch(state.planes, x, y)
@@ -165,21 +172,29 @@ def _sweep_setup(data: CostData, state: PMState, x, y) -> _SweepSetup:
         / jnp.maximum(valid_src, 1)
     disp = data.ref_cam.fx * base_line / jnp.where(depth != 0, depth, 1.0)
     ok = (depth != 0) & (valid_src > 0)
-    return _SweepSetup(ok, plane_cam, depth, disp, base_line, vw, wnorm)
+    K = min(data.num_src, _MAX_SWEEP_VIEWS)
+    order = jnp.argsort(~sel, axis=-1, stable=True)[:, :K]
+    sel_valid = jnp.take_along_axis(sel, order, -1)
+    sel_w = jnp.take_along_axis(vw, order, -1)
+    return _SweepSetup(ok, plane_cam, depth, disp, base_line,
+                       order.astype(jnp.int32), sel_valid, sel_w, wnorm)
 
 
 def _sweep_cost(data: CostData, setup: _SweepSetup, win: RefWindow, x, y,
                 p_depth, geom: bool, geom_factor, depth_min, depth_max):
     """Weighted sweep cost at a probe depth (keeps the current normal)."""
+    from .cost import geom_selected, ncc_selected
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     n = setup.plane_cam[..., :3]
     wdist = geo.plane_dist_to_origin(data.ref_cam, xf, yf, p_depth, n)
     plane = jnp.concatenate([n, wdist[..., None]], -1)
-    cv = ncc_strong(data, xf, yf, plane, win)
+    cv = ncc_selected(data, xf, yf, plane, win, setup.sel_idx, setup.sel_valid)
     if geom:
-        cv = cv + geom_factor * geom_cost(data, xf, yf, plane)
-    cost = (setup.vw * cv).sum(-1) / jnp.maximum(setup.wnorm, 1e-20)
+        cv = cv + geom_factor * geom_selected(data, xf, yf, plane,
+                                              setup.sel_idx, setup.sel_valid)
+    cv = jnp.where(setup.sel_valid, cv, 0.0)
+    cost = (setup.sel_w * cv).sum(-1) / jnp.maximum(setup.wnorm, 1e-20)
     cost = jnp.where(setup.wnorm > 0, cost, COST_MAX)
     in_range = (p_depth >= depth_min) & (p_depth <= depth_max)
     return jnp.where(in_range, cost, COST_MAX)

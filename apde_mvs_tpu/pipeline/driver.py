@@ -201,7 +201,7 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
         prior_weak=prior_weak, prior_confidence=prior_conf,
         valid=jnp.asarray(valid),
         depth_min=depth_min, depth_max=depth_max, seed=pass_seed,
-        export_curve=export_curve)
+        export_curve=export_curve, export_debug=export_anchor)
     pm_ms = (time.time() - t_pm) * 1000
     problem.used_time_ms += pm_ms
 
@@ -225,6 +225,18 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
         write_bin_mat(problem.result_folder / "anchors_map.bin",
                       out.anchors_map[:h, :w], cache=None)
         _write_anchors(problem.result_folder / "anchors.bin", out.anchors)
+        if out.nearest_strong is not None:
+            _export_nearest_strong(
+                problem.result_folder / f"nearest_strong_{spec.iteration}.png",
+                out.nearest_strong[:h, :w])
+        if out.fit_normal is not None:
+            fit_map = np.zeros((h, w, 3), np.float32)
+            am = out.anchors_map[:h, :w]
+            sel = am >= 0
+            fit_map[sel] = out.fit_normal[am[sel], :3]
+            visualize.show_normal_map(
+                problem.result_folder / f"fit_normal_{spec.iteration}.png",
+                fit_map)
     if export_curve and out.reliable_curve is not None:
         _write_reliable_curve(problem.result_folder / "reliable_curve.bin",
                               out.reliable_curve[:h, :w])
@@ -247,6 +259,20 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
     print(f"Processed view {format_index(problem.ref_image_id)} "
           f"iter {spec.iteration}: PatchMatch {pm_ms:.0f} ms, "
           f"total {total_ms:.0f} ms", flush=True)
+
+
+def _export_nearest_strong(path, nearest: np.ndarray) -> None:
+    """Random color per nearest-strong target (reference: ExportNearestStrong,
+    APD.cu:2628-2649)."""
+    from ..io.images import write_image
+
+    h, w, _ = nearest.shape
+    flat = nearest[..., 1].astype(np.int64) * w + nearest[..., 0]
+    flat = np.where((nearest[..., 0] >= 0), flat, h * w)
+    rng = np.random.default_rng(0)
+    palette = rng.integers(0, 255, size=(h * w + 1, 3)).astype(np.uint8)
+    palette[h * w] = 0
+    write_image(path, palette[flat])
 
 
 def _write_anchors(path, anchors: np.ndarray) -> None:

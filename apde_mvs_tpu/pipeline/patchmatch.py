@@ -73,6 +73,8 @@ class PatchMatchOutputs(NamedTuple):
     anchors: Optional[np.ndarray]       # (Nw, 9, 2) int32 (APD passes)
     anchors_map: Optional[np.ndarray]   # (H, W) int32
     reliable_curve: Optional[np.ndarray]
+    nearest_strong: Optional[np.ndarray] = None   # (H, W, 2) int32 debug
+    fit_normal: Optional[np.ndarray] = None       # (Nw, 4) debug
 
 
 @functools.lru_cache(maxsize=64)
@@ -199,6 +201,7 @@ def run_patchmatch(
     seed: int = 0,
     classify_chunk: int = 1 << 16,
     export_curve: bool = False,
+    export_debug: bool = False,
     anchor_radius_budget: int = 25,
 ) -> PatchMatchOutputs:
     """Run one full PatchMatch pass for one reference view.
@@ -321,6 +324,21 @@ def run_patchmatch(
     state = state.replace(
         planes=state.planes.at[..., 3].set(jnp.asarray(depth_map)))
 
+    nearest_strong_np = fit_normal_np = None
+    if export_debug and use_apd and nw > 0:
+        # debug capabilities mirroring the reference's (unused) exporters
+        # ExportNearestStrong / ExportFitNormal (APD.cu:2600-2649)
+        ns = anchor_ops.nearest_strong_jfa(state.weak, state.confidence,
+                                           state.valid)
+        nearest_strong_np = np.asarray(ns)
+        cam_planes = filters.depth_normal_to_planes(
+            data, state.planes[..., 3], state.planes[..., :3])
+        fit = anchor_ops.ransac_fit_planes(
+            jax.random.PRNGKey(seed ^ 0x5F17), data,
+            state.replace(planes=cam_planes), weak_x, weak_y, weak_valid,
+            anchors)
+        fit_normal_np = np.asarray(fit)[:nw]
+
     planes_np = np.asarray(state.planes)
     return PatchMatchOutputs(
         depth=planes_np[..., 3].copy(),
@@ -332,4 +350,6 @@ def run_patchmatch(
         anchors=(np.asarray(anchors)[:nw] if use_apd and nw > 0 else None),
         anchors_map=anchors_map_np,
         reliable_curve=reliable_curve,
+        nearest_strong=nearest_strong_np,
+        fit_normal=fit_normal_np,
     )

@@ -82,7 +82,7 @@ def scene_batch_from_arrays(images, cams: geo.CameraArrays, pair,
     )
 
 
-def _per_view_iteration(view_images, view_quads, all_cams: geo.CameraArrays,
+def _per_view_iteration(all_images, all_quads, all_cams: geo.CameraArrays,
                         ref_index, pair_row, all_depths, planes, costs,
                         selected, view_weights, weak, key, cfg: PropCfg,
                         iteration, depth_min, depth_max, geom_factor):
@@ -95,8 +95,8 @@ def _per_view_iteration(view_images, view_quads, all_cams: geo.CameraArrays,
     data = CostData(
         ref_cam=geo.CameraArrays(*[a[ref_index] for a in all_cams]),
         src_cams=src_cams,
-        ref_image=view_images,
-        src_quads=view_quads[pair_row],
+        ref_image=all_images[ref_index],
+        src_quads=all_quads[pair_row],
         sa_mask=jnp.zeros((H, W), jnp.int32),
         src_depths=all_depths[pair_row],
         width=W, height=H, num_src=S)
@@ -135,10 +135,12 @@ def view_parallel_step(scene: SceneBatch, cfg: PropCfg, iteration, key,
 
     def body(i, carry):
         planes, costs, selected, vw, weak, depths, k = carry
-        k, kv = jax.random.split(k)
         global_view = my_shard * Vl + i
+        # fold in the global view id: per-view streams are identical no
+        # matter how views are sharded over devices
+        kv = jax.random.fold_in(k, global_view)
         state, depth = _per_view_iteration(
-            all_images[global_view], all_quads[global_view], scene.cams,
+            all_images, all_quads, scene.cams,
             global_view, scene.pair[global_view], all_depths,
             planes[i], costs[i], selected[i], vw[i], weak[i], kv,
             cfg, iteration, depth_min, depth_max, geom_factor)
@@ -157,7 +159,10 @@ def view_parallel_step(scene: SceneBatch, cfg: PropCfg, iteration, key,
 
 def build_sharded_step(mesh: Mesh, cfg: PropCfg, axis: str = "views"):
     """jit(shard_map(step)) with views sharded, static data replicated."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     sharded = P(axis)
     replicated = P()

@@ -181,5 +181,5 @@ def build_sharded_step(mesh: Mesh, cfg: PropCfg, axis: str = "views"):
                        in_specs=(scene_specs, replicated, replicated,
                                  replicated, replicated, replicated),
                        out_specs=scene_specs,
-                       check_rep=False)
+                       check_vma=False)
     return jax.jit(mapped)

@@ -26,21 +26,45 @@ def random_planes(key, data: CostData, depth_min, depth_max) -> jnp.ndarray:
         depth_min, depth_max)
 
 
+def initial_cost_chunk(data: CostData, planes_flat, x, y, params):
+    """Strong NCC cost vectors for one flat pixel chunk (jit-friendly)."""
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    win = precompute_ref_window(data, xf, yf, params.strong_radius,
+                                params.strong_increment, bool(params.use_sa))
+    return ncc_strong(data, xf, yf, planes_flat, win)
+
+
 def initial_cost(data: CostData, state: PMState, params, use_apd: bool,
                  weak_x=None, weak_y=None, weak_valid=None, anchors=None,
                  chunk: Optional[int] = None) -> PMState:
     """Initial cost + selected views for the whole image. With APD enabled,
     WEAK pixels are re-scored with the deformable NCC over the weak list
     (reference: ComputeMultiViewInitialCostandSelectedViews, APD.cu:723-774).
+
+    ``chunk`` bounds the (chunk, taps) intermediates: full-resolution images
+    would otherwise materialize ~1 GB per (H*W, 36) array.
     """
     h, w = data.height, data.width
     ys, xs = jnp.mgrid[0:h, 0:w]
     xf = xs.astype(jnp.float32).reshape(-1)
     yf = ys.astype(jnp.float32).reshape(-1)
     planes = state.planes.reshape(-1, 4)
-    win = precompute_ref_window(data, xf, yf, params.strong_radius,
-                                params.strong_increment, bool(params.use_sa))
-    costs = ncc_strong(data, xf, yf, planes, win)          # (HW, S)
+    if chunk is None or chunk >= h * w:
+        costs = initial_cost_chunk(data, planes, xf, yf, params)  # (HW, S)
+    else:
+        n = h * w
+        pad = (-n) % chunk
+        xf_p = jnp.concatenate([xf, jnp.zeros((pad,), xf.dtype)])
+        yf_p = jnp.concatenate([yf, jnp.zeros((pad,), yf.dtype)])
+        pl_p = jnp.concatenate([planes, jnp.zeros((pad, 4), planes.dtype)])
+        nc = (n + pad) // chunk
+        costs = jax.lax.map(
+            lambda args: initial_cost_chunk(data, args[0], args[1], args[2],
+                                            params),
+            (pl_p.reshape(nc, chunk, 4), xf_p.reshape(nc, chunk),
+             yf_p.reshape(nc, chunk)))
+        costs = costs.reshape(-1, data.num_src)[:n]
 
     if use_apd and weak_x is not None:
         wref = WeakRefData.build(

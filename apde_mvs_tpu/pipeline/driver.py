@@ -84,12 +84,13 @@ def check_images(problems: Sequence[Problem],
 
 
 def compute_round_num(problems: Sequence[Problem],
-                      cache: Optional[MemoryCache] = None) -> int:
+                      cache: Optional[MemoryCache] = None,
+                      base: int = PYRAMID_BASE_MAX_DIM) -> int:
     p = problems[0]
     img = read_image_gray(
         p.dense_folder / "images" / (format_index(p.ref_image_id) + p.img_ext),
         cache=cache)
-    return cfg.compute_round_num(max(img.shape))
+    return cfg.compute_round_num(max(img.shape), base)
 
 
 def _load_scaled_view(problem: Problem, view_id: int, scale_size: int,
@@ -319,7 +320,7 @@ def run_scan(dense_folder, dataset: str = "General", *,
                    export_color=export_color, cache=cache)
         return
 
-    round_num = compute_round_num(problems, cache)
+    round_num = compute_round_num(problems, cache, base=pyramid_base)
     print(f"Round nums: {round_num}", flush=True)
     p0 = problems[0]
     img0 = read_image_gray(

@@ -111,9 +111,11 @@ def _jit_init(shape, num_src, cfg: StaticCfg, nw: int, first_init: bool):
             planes = filters.depth_normal_to_planes(
                 data, state.planes[..., 3], state.planes[..., :3])
         state = state.replace(planes=planes)
+        h, w = shape
+        chunk = (1 << 19) if h * w > (1 << 20) else None
         return init_ops.initial_cost(
             data, state, params, cfg.use_apd and nw > 0,
-            weak_x, weak_y, weak_valid, anchors)
+            weak_x, weak_y, weak_valid, anchors, chunk=chunk)
     return jax.jit(f)
 
 

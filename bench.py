@@ -49,9 +49,16 @@ def main():
     key = jax.random.PRNGKey(0)
     dmin = jnp.float32(scene.cameras[0].depth_min * 0.6)
     dmax = jnp.float32(scene.cameras[0].depth_max * 1.2)
-    state = PMState.create(height, width, data.num_src)
-    state = state.replace(planes=random_planes(key, data, dmin, dmax))
-    state = initial_cost(data, state, params, use_apd=False)
+
+    @jax.jit
+    def setup(data, key):
+        state = PMState.create(height, width, data.num_src)
+        state = state.replace(planes=random_planes(key, data, dmin, dmax))
+        return initial_cost(data, state, params, use_apd=False,
+                            chunk=1 << 18)
+
+    state = setup(data, key)
+    jax.block_until_ready(state.costs)
 
     @jax.jit
     def sweep(data, state, key):

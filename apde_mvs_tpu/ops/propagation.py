@@ -33,8 +33,8 @@ from ..core import checkerboard as cb
 from ..core import geometry as geo
 from ..core.sampling import fetch
 from . import selection
-from .cost import COST_MAX, CostData, GEOM_COST_MAX, geom_cost, ncc_strong, \
-    precompute_ref_window
+from .cost import COST_MAX, CostData, GEOM_COST_MAX, geom_cost, \
+    geom_selected, ncc_selected, ncc_strong, precompute_ref_window
 from .deformable import WeakRefData, ncc_weak
 from .state import PMState
 
@@ -177,17 +177,12 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
     win = precompute_ref_window(data, xf, yf, cfg.strong_radius,
                                 cfg.strong_increment, cfg.use_sa)
 
-    # candidates + the current plane share one scan body (one compiled NCC
-    # kernel instead of two — XLA:TPU compile time is per unique body)
-    all_planes = jnp.concatenate([cand_planes, cur_plane[:, None]], axis=1)
-
     def cand_cost(c, _):
-        costs_c = ncc_strong(data, xf, yf, all_planes[:, c], win)  # (B, S)
+        costs_c = ncc_strong(data, xf, yf, cand_planes[:, c], win)  # (B, S)
         return c + 1, costs_c
 
-    _, all_costs = jax.lax.scan(cand_cost, 0, None, length=9)
-    all_costs = jnp.moveaxis(all_costs, 0, 1)                  # (B, 9, S)
-    cost_array = all_costs[:, :8]
+    _, cost_array = jax.lax.scan(cand_cost, 0, None, length=8)
+    cost_array = jnp.moveaxis(cost_array, 0, 1)                # (B, 8, S)
     # invalid regions keep ~zero rows (C aggregate-init quirk, see module doc)
     cost_array = jnp.where(flags[..., None], cost_array, 0.0)
 
@@ -205,11 +200,25 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
 
     final_costs = (vw[:, None, :] * cost_array).sum(-1) * inv_norm[:, None]
 
-    cost_now_vec = all_costs[:, 8]
-    if cfg.geom_consistency and cfg.use_impetus:
-        cost_now_vec = cost_now_vec + geom_factor * geom_cost(
-            data, xf, yf, cur_plane)
-    cost_now = (vw * cost_now_vec).sum(-1) * inv_norm
+    # current plane + refinement hypotheses are weighted sums over the
+    # Monte-Carlo-selected views only; views with zero weight contribute
+    # nothing in the reference's sums (APD.cu:1405-1412, 988-996), so they
+    # are compacted away instead of sampled (typically 10 -> <=4 views)
+    K = min(S, 8)
+    voted = vw > 0
+    slot_idx = jnp.argsort(~voted, axis=-1, stable=True)[:, :K].astype(jnp.int32)
+    slot_valid = jnp.take_along_axis(voted, slot_idx, -1)
+    slot_w = jnp.take_along_axis(vw, slot_idx, -1)
+
+    def weighted_cost(plane):
+        cv = ncc_selected(data, xf, yf, plane, win, slot_idx, slot_valid)
+        if cfg.geom_consistency and cfg.use_impetus:
+            cv = cv + geom_factor * geom_selected(data, xf, yf, plane,
+                                                  slot_idx, slot_valid)
+        cv = jnp.where(slot_valid, cv, 0.0)
+        return (slot_w * cv).sum(-1) * inv_norm
+
+    cost_now = weighted_cost(cur_plane)
     cost_recomputed = jnp.where(has_views, cost_now, COST_MAX)
 
     # adopt best candidate (last-min wins ties)
@@ -233,10 +242,7 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
 
     def refine_cost(i, _):
         plane_i = geo.make_plane(cam, xf, yf, r_depths[:, i], r_normals[:, i])
-        cv = ncc_strong(data, xf, yf, plane_i, win)
-        if cfg.geom_consistency and cfg.use_impetus:
-            cv = cv + geom_factor * geom_cost(data, xf, yf, plane_i)
-        ci = (vw * cv).sum(-1) * inv_norm
+        ci = weighted_cost(plane_i)
         d_i = geo.depth_from_plane(cam, plane_i, xf, yf)
         ok = (d_i >= depth_min) & (d_i <= depth_max) & has_views
         return i + 1, (jnp.where(ok, ci, jnp.inf), plane_i)

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_color", "-c", type=_bool, default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pyramid_base", type=int, default=800)
+    p.add_argument("--fuse_shard", type=str, default=None,
+                   help="distributed fusion: 'i,n' fuses ref views i mod n "
+                        "into a partial PLY")
+    p.add_argument("--merge_fusion", type=int, default=None,
+                   help="merge N partial fusion PLYs into APD.ply and exit")
     return p
 
 
@@ -54,6 +59,17 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
 
+    if args.merge_fusion:
+        from ..pipeline.fusion import merge_fusion_shards
+        merge_fusion_shards(args.dense_folder, "APD.ply", args.merge_fusion,
+                            export_color=args.export_color)
+        return 0
+
+    fuse_shard = None
+    if args.fuse_shard:
+        i, n = (int(v) for v in args.fuse_shard.split(","))
+        fuse_shard = (i, n)
+
     run_scan(
         args.dense_folder, dataset=args.dataset,
         only_fuse=only_fuse, no_fuse=args.no_fuse,
@@ -61,7 +77,8 @@ def main(argv=None) -> int:
         use_impetus=args.use_impetus, weak_filter=args.weak_filter,
         flush=flush, export_anchor=args.export_anchor,
         export_curve=args.export_curve, export_color=args.export_color,
-        seed=args.seed, pyramid_base=args.pyramid_base)
+        seed=args.seed, pyramid_base=args.pyramid_base,
+        fuse_shard=fuse_shard)
     return 0
 
 

@@ -300,7 +300,8 @@ def run_scan(dense_folder, dataset: str = "General", *,
              use_impetus: bool = True, weak_filter: bool = True,
              flush: bool = False, export_anchor: bool = False,
              export_curve: bool = False, export_color: bool = True,
-             seed: int = 0, pyramid_base: int = PYRAMID_BASE_MAX_DIM) -> None:
+             seed: int = 0, pyramid_base: int = PYRAMID_BASE_MAX_DIM,
+             fuse_shard=None) -> None:
     """Full scan reconstruction (reference: main.cpp:210-411)."""
     from .fusion import run_fusion
 
@@ -317,7 +318,7 @@ def run_scan(dense_folder, dataset: str = "General", *,
         weak_filter=weak_filter)
     if only_fuse:
         run_fusion(dense_folder, problems, "APD.ply", fusion_params,
-                   export_color=export_color, cache=cache)
+                   export_color=export_color, cache=cache, shard=fuse_shard)
         return
 
     round_num = compute_round_num(problems, cache, base=pyramid_base)
@@ -348,5 +349,5 @@ def run_scan(dense_folder, dataset: str = "General", *,
         print("Skip fusion, all done!", flush=True)
         return
     run_fusion(dense_folder, problems, "APD.ply", fusion_params,
-               export_color=export_color, cache=cache)
+               export_color=export_color, cache=cache, shard=fuse_shard)
     print("All done", flush=True)

@@ -178,30 +178,74 @@ def _neighbor_geometry(rv: FusionView, sv: FusionView, Xw):
 
 
 def run_fusion(dense_folder, problems, name: str, params: FusionParams,
-               export_color: bool = True, cache=None) -> Path:
-    """Fuse all views' depth maps into one PLY (dispatches on variant)."""
+               export_color: bool = True, cache=None,
+               shard=None) -> Path:
+    """Fuse all views' depth maps into one PLY (dispatches on variant).
+
+    ``shard=(i, n)`` enables distributed fusion: this process fuses only the
+    reference views with index ≡ i (mod n) and writes a partial PLY
+    (``<name>.part<i>of<n>``); `merge_fusion_shards` concatenates the parts.
+    All views' maps are still loaded (they are every shard's neighbor
+    inputs). Cross-shard source-pixel consumption is not exchanged — each
+    shard deduplicates against its own views only, a documented relaxation
+    of the reference's serial mask semantics.
+    """
     views = load_fusion_views(dense_folder, problems, cache=cache)
     if cache is not None:
         cache.img_cache.clear()
     if params.weak_filter:
         weak_vis_filter(views, problems, dense_folder, params)
+    ref_indices = list(range(len(problems)))
+    if shard is not None:
+        ref_indices = [i for i in ref_indices if i % shard[1] == shard[0]]
     if params.variant == "general":
-        coords, colors = _fuse_general(views, problems, params)
+        coords, colors = _fuse_general(views, problems, params, ref_indices)
     else:
         coords, colors = _fuse_tat(views, problems, params,
-                                   advanced=(params.variant == "tat_a"))
+                                   advanced=(params.variant == "tat_a"),
+                                   ref_indices=ref_indices)
     ply_path = Path(dense_folder) / "APD" / name
+    if shard is not None:
+        ply_path = ply_path.with_name(
+            f"{name}.part{shard[0]}of{shard[1]}")
     export_point_cloud(ply_path, coords,
                        colors if export_color else None)
     print(f"Fusion: {len(coords)} points -> {ply_path}", flush=True)
     return ply_path
 
 
-def _fuse_general(views, problems, params: FusionParams):
+def merge_fusion_shards(dense_folder, name: str, num_shards: int,
+                        export_color: bool = True) -> Path:
+    """Concatenate partial PLYs written by sharded fusion runs."""
+    import numpy as np
+
+    from ..io.ply import read_ply
+
+    coords, colors = [], []
+    for i in range(num_shards):
+        part = Path(dense_folder) / "APD" / f"{name}.part{i}of{num_shards}"
+        c, col = read_ply(part)
+        coords.append(c)
+        if col is not None:
+            colors.append(col)
+    coords = np.concatenate(coords)
+    colors = np.concatenate(colors) if colors else None
+    ply_path = Path(dense_folder) / "APD" / name
+    export_point_cloud(ply_path, coords,
+                       colors if export_color and colors is not None else None)
+    print(f"Merged {num_shards} fusion shards: {len(coords)} points -> "
+          f"{ply_path}", flush=True)
+    return ply_path
+
+
+def _fuse_general(views, problems, params: FusionParams, ref_indices=None):
     """Dynamic-consistency fusion (reference: RunFusion, APD.cpp:1051-1227)."""
     all_pts, all_cols = [], []
     id_to_index = {p.ref_image_id: i for i, p in enumerate(problems)}
-    for ri, p in enumerate(problems):
+    if ref_indices is None:
+        ref_indices = range(len(problems))
+    for ri in ref_indices:
+        p = problems[ri]
         rv = views[ri]
         h, w = rv.depth.shape
         ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -233,13 +277,17 @@ def _fuse_general(views, problems, params: FusionParams):
     return np.concatenate(all_pts), np.concatenate(all_cols)
 
 
-def _fuse_tat(views, problems, params: FusionParams, advanced: bool):
+def _fuse_tat(views, problems, params: FusionParams, advanced: bool,
+              ref_indices=None):
     """Escalating-k consensus fusion (reference: RunFusion_TAT_I/_TAT_A,
     APD.cpp:1229-1608). The advanced variant drops the normal-angle test."""
     all_pts, all_cols = [], []
     id_to_index = {p.ref_image_id: i for i, p in enumerate(problems)}
     depth_base = params.depth_base_tat_a if advanced else params.depth_base_tat_i
-    for ri, p in enumerate(problems):
+    if ref_indices is None:
+        ref_indices = range(len(problems))
+    for ri in ref_indices:
+        p = problems[ri]
         rv = views[ri]
         h, w = rv.depth.shape
         ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)

@@ -85,3 +85,21 @@ def test_weak_vis_filter_marks_floaters(scene_on_disk):
     inner = views[0].skip[8:-8, 8:-8]
     assert inner.mean() > 0.5, "floating weak pixels should be skipped"
     assert not views[1].skip.any()
+
+
+def test_sharded_fusion_merge(scene_on_disk):
+    root, scene = scene_on_disk
+    problems = _problems(root)
+    params = FusionParams(variant="general", weak_filter=False)
+    for i in range(2):
+        fusion.run_fusion(root, problems, "sharded.ply", params,
+                          export_color=True, shard=(i, 2))
+    fusion.merge_fusion_shards(root, "sharded.ply", 2)
+    from apde_mvs_tpu.io.ply import read_ply
+    pts, cols = read_ply(root / "APD" / "sharded.ply")
+    # unsharded baseline with fresh masks
+    ply = fusion.run_fusion(root, problems, "unsharded.ply", params,
+                            export_color=True)
+    base, _ = read_ply(ply)
+    assert len(pts) >= len(base)          # shards dedup less across shards
+    assert len(pts) < len(base) * 2.5     # but not unboundedly more

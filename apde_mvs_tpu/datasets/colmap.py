@@ -97,13 +97,17 @@ def read_cameras_binary(path) -> Dict[int, ColmapCamera]:
 
 
 def read_images_text(path) -> Dict[int, ColmapImage]:
+    """Images with zero 2-D observations have an EMPTY points line; the pair
+    structure (header line, points line) must be preserved positionally, so
+    only comment lines are filtered before pairing."""
     images = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for i in range(0, len(lines), 2):
         el = lines[i].split()
-        pts = lines[i + 1].split()
+        pts = lines[i + 1].split() if i + 1 < len(lines) else []
         xys = np.array(pts, float).reshape(-1, 3)[:, :2] if pts else \
             np.zeros((0, 2))
         ids = np.array(pts[2::3], int) if pts else np.zeros((0,), int)

@@ -175,7 +175,7 @@ def _plane_from_triplet(pts, a_idx, b_idx, c_idx):
 
 def gen_anchors(key, data, state: PMState, weak_x, weak_y, weak_valid,
                 rotate_time: int, ransac_threshold, depth_min, depth_max,
-                nearest_strong: jnp.ndarray, jitter_samples: int = 2,
+                nearest_strong: jnp.ndarray, jitter_samples: int = 4,
                 radius_budget: int = 25) -> AnchorResult:
     """Anchor generation for the compacted weak list (reference: GenAnchors).
 
@@ -183,7 +183,8 @@ def gen_anchors(key, data, state: PMState, weak_x, weak_y, weak_valid,
     camera-frame conversion, as in the reference's kernel order,
     APD.cu:2685-2690).
     """
-    h, w = state.weak.shape
+    h = getattr(data, "img_h", None) or state.weak.shape[0]
+    w = getattr(data, "img_w", None) or state.weak.shape[1]
     Nw = weak_x.shape[0]
     min_margin = 6
     xf = weak_x.astype(jnp.float32)

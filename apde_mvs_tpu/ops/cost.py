@@ -68,10 +68,23 @@ class CostData:
     width: int = struct.field(pytree_node=False)
     height: int = struct.field(pytree_node=False)
     num_src: int = struct.field(pytree_node=False)
+    # real (unpadded) image bounds: out-of-image tests must use these, or
+    # warps landing in the pad strip score edge-replicated NCC instead of
+    # the reference's COST_MAX
+    real_width: int = struct.field(pytree_node=False, default=0)
+    real_height: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def img_w(self):
+        return self.real_width or self.width
+
+    @property
+    def img_h(self):
+        return self.real_height or self.height
 
     @classmethod
     def build(cls, ref_cam, src_cams, ref_image, src_images, sa_mask=None,
-              src_depths=None):
+              src_depths=None, real_width=0, real_height=0):
         h, w = ref_image.shape
         s = src_images.shape[0]
         quads = jax.vmap(pack_bilinear)(src_images)
@@ -83,7 +96,8 @@ class CostData:
                    ref_image=ref_image, src_quads=quads,
                    sa_mask=jnp.asarray(sa_mask, jnp.int32),
                    src_depths=jnp.asarray(src_depths, jnp.float32),
-                   width=w, height=h, num_src=s)
+                   width=w, height=h, num_src=s,
+                   real_width=real_width, real_height=real_height)
 
 
 class RefWindow(NamedTuple):
@@ -142,7 +156,7 @@ def precompute_ref_window(data: CostData, x, y, radius: int, increment: int,
     sdy = jnp.broadcast_to(st[None, :, 1], B + (36,))
     tx = xi[..., None] + sdx
     ty = yi[..., None] + sdy
-    inb = (tx >= 0) & (tx < data.width) & (ty >= 0) & (ty < data.height)
+    inb = (tx >= 0) & (tx < data.img_w) & (ty >= 0) & (ty < data.img_h)
     tap_sa = fetch(data.sa_mask, tx, ty)
     brk = inb & (tap_sa != center_sa[..., None])         # truncation triggers
     brk_q = brk.reshape(B + (4, 9))
@@ -191,7 +205,11 @@ def ncc_from_sums(sum_ref, sum_rr, sum_src, sum_ss, sum_rs, wsum):
     covar = m_rs - m_ref * m_src
     denom = jnp.sqrt(jnp.maximum(var_ref * var_src, 1e-30))
     cost = jnp.clip(1.0 - covar / denom, 0.0, COST_MAX)
-    degenerate = (var_ref < MIN_VAR) | (var_src < MIN_VAR) | ~safe
+    # non-finite sums (degenerate w=0 planes warp to NaN coordinates) must
+    # cost COST_MAX, not NaN: NaN rows would poison argmin-based candidate
+    # selection where the reference's NaN-comparison semantics skip them
+    degenerate = (var_ref < MIN_VAR) | (var_src < MIN_VAR) | ~safe \
+        | ~jnp.isfinite(cost)
     return jnp.where(degenerate, COST_MAX, cost)
 
 
@@ -206,7 +224,7 @@ def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow):
     quad = data.src_quads[src_index]
     H = geo.homography(data.ref_cam, src_cam, plane)
     cx, cy = geo.warp(H, x, y)
-    oob = (cx < 0) | (cx >= data.width) | (cy < 0) | (cy >= data.height)
+    oob = (cx < 0) | (cx >= data.img_w) | (cy < 0) | (cy >= data.img_h)
 
     tx = x[..., None] + win.tap_dx                       # (B, T)
     ty = y[..., None] + win.tap_dy
@@ -255,7 +273,7 @@ def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,
         cam_k = geo.CameraArrays(*[a[:, k] for a in src_cams])
         H = geo.homography(data.ref_cam, cam_k, plane)
         cx, cy = geo.warp(H, x, y)
-        oob = (cx < 0) | (cx >= data.width) | (cy < 0) | (cy >= data.height)
+        oob = (cx < 0) | (cx >= data.img_w) | (cy < 0) | (cy >= data.img_h)
         tx = x[..., None] + win.tap_dx
         ty = y[..., None] + win.tap_dy
         wx, wy = geo.warp(H[..., None, :, :], tx, ty)
@@ -303,7 +321,8 @@ def geom_selected(data: CostData, x, y, plane, sel_idx, sel_valid
         bx, by, _bd = geo.project(data.ref_cam, Xs)
         dist = jnp.sqrt((x - bx) ** 2 + (y - by) ** 2)
         cost = jnp.minimum(GEOM_COST_MAX, dist)
-        return k + 1, jnp.where(src_depth == 0.0, GEOM_COST_MAX, cost)
+        bad = (src_depth == 0.0) | ~jnp.isfinite(cost)
+        return k + 1, jnp.where(bad, GEOM_COST_MAX, cost)
 
     _, costs = jax.lax.scan(slot, 0, None, length=sel_idx.shape[1])
     costs = jnp.moveaxis(costs, 0, -1)
@@ -325,8 +344,8 @@ def geom_cost(data: CostData, x, y, plane) -> jnp.ndarray:
         bx, by, _bd = geo.project(data.ref_cam, Xs)
         dist = jnp.sqrt((x - bx) ** 2 + (y - by) ** 2)
         cost = jnp.minimum(GEOM_COST_MAX, dist)
-        cost = jnp.where(src_depth == 0.0, GEOM_COST_MAX, cost)
-        return s + 1, cost
+        bad = (src_depth == 0.0) | ~jnp.isfinite(cost)
+        return s + 1, jnp.where(bad, GEOM_COST_MAX, cost)
 
     _, costs = jax.lax.scan(body, 0, None, length=data.num_src)
     return jnp.moveaxis(costs, 0, -1)

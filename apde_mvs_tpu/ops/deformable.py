@@ -128,7 +128,7 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
     H = geo.homography(data.ref_cam, src_cam, plane)
     x, y = wref.x, wref.y
     cx, cy = geo.warp(H, x, y)
-    center_oob = (cx < 0) | (cx >= data.width) | (cy < 0) | (cy >= data.height)
+    center_oob = (cx < 0) | (cx >= data.img_w) | (cy < 0) | (cy >= data.img_h)
 
     # anchor 0 (the pixel) with the strong window — batched (B, T) taps
     win = wref.center_win
@@ -144,7 +144,7 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
 
     # anchors 1..8 with sparse windows — one vectorized (B, 8, T') gather pass
     awx, awy = geo.warp(H[..., None, :, :], wref.anchor_x, wref.anchor_y)
-    a_oob = (awx < 0) | (awx >= data.width) | (awy < 0) | (awy >= data.height)
+    a_oob = (awx < 0) | (awx >= data.img_w) | (awy < 0) | (awy >= data.img_h)
     wk = jnp.asarray(cost_ops.square_taps(params.weak_radius,
                                           params.weak_increment))
     tx = wref.anchor_x[..., None] + wk[None, None, :, 0]

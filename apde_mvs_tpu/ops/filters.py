@@ -56,6 +56,8 @@ _FILTER_OFFSETS = np.asarray([
     (2, -1), (2, 1), (-2, -1), (-2, 1),
     (-1, -2), (1, -2), (-1, 2), (1, 2),
 ], np.int32)
+_FILTER_Y_GT2 = np.zeros((len(_FILTER_OFFSETS),), bool)
+_FILTER_Y_GT2[[16, 17]] = True   # (-1,-2) and (1,-2)
 
 
 def _masked_median(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -87,6 +89,10 @@ def median_filter_color(state: PMState, color: int) -> PMState:
     nx = x[:, None] + offs[None, :, 0]
     ny = y[:, None] + offs[None, :, 1]
     inb = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
+    # reference quirk: the (-1,-2)/(1,-2) taps additionally require p.y > 2
+    # (APD.cu:1798-1804), one row stricter than the bounds check
+    strict = jnp.asarray(_FILTER_Y_GT2)[None, :]
+    inb = inb & (~strict | (y[:, None] > 2))
     n_state = fetch(state.weak, nx, ny, fill=UNKNOWN)
     n_depth = fetch(state.planes[..., 3], nx, ny)
     ok = inb & (n_state == STRONG)
@@ -261,7 +267,7 @@ def depth_to_weak(data: CostData, state: PMState, x, y, weak_peak_radius,
                   jnp.where(multi_strong, STRONG, WEAK)))
     # guards: margins and degenerate setups -> UNKNOWN
     margin = (x < min_margin) | (y < min_margin) \
-        | (x >= w - min_margin) | (y >= h - min_margin)
+        | (x >= data.img_w - min_margin) | (y >= data.img_h - min_margin)
     invalid = margin | ~setup.ok | ~fetch(state.valid, x, y)
     new_weak = jnp.where(invalid, UNKNOWN, new_weak)
     return new_weak.astype(jnp.int32), (curve if return_curve else None)

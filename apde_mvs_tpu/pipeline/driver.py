@@ -151,7 +151,6 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
 
     src_depths = None
     if geom_or_apd:
-        ref_depth_prev = _load_resized_bin(problem.result_folder / "depths.bin")
         neigh = [_load_resized_bin(
             problem.dense_folder / "APD" / format_index(sid) / "depths.bin")
             for sid in problem.src_image_ids]
@@ -192,7 +191,8 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
     data = CostData.build(
         cams.view(0), src_cams, jnp.asarray(ref_p),
         jnp.asarray(src_imgs), sa_mask=sa_mask,
-        src_depths=jnp.asarray(src_depths) if src_depths is not None else None)
+        src_depths=jnp.asarray(src_depths) if src_depths is not None else None,
+        real_width=w, real_height=h)
 
     pass_seed = (seed * 1000003 + problem.ref_image_id * 131 + spec.iteration)
     t_pm = time.time()

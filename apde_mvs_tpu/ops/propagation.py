@@ -202,21 +202,32 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
 
     # current plane + refinement hypotheses are weighted sums over the
     # Monte-Carlo-selected views only; views with zero weight contribute
-    # nothing in the reference's sums (APD.cu:1405-1412, 988-996), so they
-    # are compacted away instead of sampled (typically 10 -> <=4 views)
-    K = min(S, 8)
-    voted = vw > 0
-    slot_idx = jnp.argsort(~voted, axis=-1, stable=True)[:, :K].astype(jnp.int32)
-    slot_valid = jnp.take_along_axis(voted, slot_idx, -1)
-    slot_w = jnp.take_along_axis(vw, slot_idx, -1)
+    # nothing in the reference's sums (APD.cu:1405-1412, 988-996). For large
+    # source sets the voted views are compacted into at most 8 per-pixel
+    # slots; for small S the per-pixel camera gathers cost more than the
+    # skipped views, so the direct all-views path is kept.
+    use_compact = S > 10
+    if use_compact:
+        K = 8
+        voted = vw > 0
+        slot_idx = jnp.argsort(~voted, axis=-1,
+                               stable=True)[:, :K].astype(jnp.int32)
+        slot_valid = jnp.take_along_axis(voted, slot_idx, -1)
+        slot_w = jnp.take_along_axis(vw, slot_idx, -1)
 
-    def weighted_cost(plane):
-        cv = ncc_selected(data, xf, yf, plane, win, slot_idx, slot_valid)
-        if cfg.geom_consistency and cfg.use_impetus:
-            cv = cv + geom_factor * geom_selected(data, xf, yf, plane,
-                                                  slot_idx, slot_valid)
-        cv = jnp.where(slot_valid, cv, 0.0)
-        return (slot_w * cv).sum(-1) * inv_norm
+        def weighted_cost(plane):
+            cv = ncc_selected(data, xf, yf, plane, win, slot_idx, slot_valid)
+            if cfg.geom_consistency and cfg.use_impetus:
+                cv = cv + geom_factor * geom_selected(data, xf, yf, plane,
+                                                      slot_idx, slot_valid)
+            cv = jnp.where(slot_valid, cv, 0.0)
+            return (slot_w * cv).sum(-1) * inv_norm
+    else:
+        def weighted_cost(plane):
+            cv = ncc_strong(data, xf, yf, plane, win)
+            if cfg.geom_consistency and cfg.use_impetus:
+                cv = cv + geom_factor * geom_cost(data, xf, yf, plane)
+            return (vw * cv).sum(-1) * inv_norm
 
     cost_now = weighted_cost(cur_plane)
     cost_recomputed = jnp.where(has_views, cost_now, COST_MAX)

@@ -186,6 +186,22 @@ def read_model(path, ext=".txt"):
             read_points3d_binary(os.path.join(path, "points3D.bin")))
 
 
+def rotmat2qvec(R):
+    """Rotation matrix -> (w, x, y, z) quaternion (reference:
+    tools/colmap2mvsnet.py:302-313)."""
+    Rxx, Ryx, Rzx, Rxy, Ryy, Rzy, Rxz, Ryz, Rzz = np.asarray(R).flat
+    K = np.array([
+        [Rxx - Ryy - Rzz, 0, 0, 0],
+        [Ryx + Rxy, Ryy - Rxx - Rzz, 0, 0],
+        [Rzx + Rxz, Rzy + Ryz, Rzz - Rxx - Ryy, 0],
+        [Ryz - Rzy, Rzx - Rxz, Rxy - Ryx, Rxx + Ryy + Rzz]]) / 3.0
+    eigvals, eigvecs = np.linalg.eigh(K)
+    qvec = eigvecs[[3, 0, 1, 2], np.argmax(eigvals)]
+    if qvec[0] < 0:
+        qvec *= -1
+    return qvec
+
+
 def qvec2rotmat(q):
     w, x, y, z = q
     return np.array([

@@ -178,6 +178,9 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
     if use_apd:
         weak = _load_resized_bin(problem.result_folder / "weak.bin")
         conf = _load_resized_bin(problem.result_folder / "confidence.bin")
+        n_weak = int((weak == WEAK).sum())
+        print(f"Weak count: {n_weak} / {weak.size} = "
+              f"{n_weak / weak.size * 100:.1f}%", flush=True)
         prior_weak = pad_to_multiple(weak.astype(np.int32), PAD_H, PAD_W,
                                      mode="constant",)
         prior_conf = pad_to_multiple(conf.astype(np.float32), PAD_H, PAD_W,
@@ -303,7 +306,10 @@ def run_scan(dense_folder, dataset: str = "General", *,
              seed: int = 0, pyramid_base: int = PYRAMID_BASE_MAX_DIM,
              fuse_shard=None) -> None:
     """Full scan reconstruction (reference: main.cpp:210-411)."""
+    from ..core.platform import enable_compilation_cache
     from .fusion import run_fusion
+
+    enable_compilation_cache()
 
     dense_folder = Path(dense_folder)
     (dense_folder / "APD").mkdir(exist_ok=True)

@@ -26,11 +26,11 @@ def initialize(coordinator_address: Optional[str] = None,
     process. Returns (process_index, process_count)."""
     import jax
 
-    env_ok = coordinator_address or os.environ.get("COORDINATOR_ADDRESS") \
+    address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS") \
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if env_ok:
+    if address:
         jax.distributed.initialize(
-            coordinator_address=coordinator_address,
+            coordinator_address=address,
             num_processes=num_processes, process_id=process_id)
     return jax.process_index(), jax.process_count()
 
@@ -53,10 +53,21 @@ def partition_scans(scans: Sequence[Tuple[str, int]], num_hosts: int,
 
 def throughput_report(scan_times_s: Dict[str, float], num_hosts: int,
                       single_host_baseline_s: Optional[float] = None) -> dict:
-    """Scans/hour + scaling efficiency vs a single-host baseline."""
+    """Scans/hour + scaling efficiency vs a single-host baseline.
+
+    Wall clock for multi-host runs is estimated by LPT-assigning the scan
+    times over hosts (the same greedy `partition_scans` uses) and taking the
+    busiest host's total — `max(scan_times)` alone would underestimate the
+    wall whenever a host runs more than one scan.
+    """
     total = sum(scan_times_s.values())
-    wall = max(scan_times_s.values()) if num_hosts > 1 and scan_times_s \
-        else total
+    if num_hosts > 1 and scan_times_s:
+        loads = [0.0] * num_hosts
+        for t in sorted(scan_times_s.values(), reverse=True):
+            loads[loads.index(min(loads))] += t
+        wall = max(loads)
+    else:
+        wall = total
     scans_per_hour = len(scan_times_s) / max(wall, 1e-9) * 3600
     report = {
         "num_scans": len(scan_times_s),

@@ -15,13 +15,12 @@ gathered neighbor depths) for every view of a scan simultaneously.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import geometry as geo
 from ..ops import propagation
@@ -53,9 +52,11 @@ class SceneBatch(NamedTuple):
     depths: jnp.ndarray      # (V, H, W) f32 previous-iteration depth maps
 
 
-def scene_batch_from_arrays(images, cams: geo.CameraArrays, pair,
-                            key) -> SceneBatch:
-    """Initialize a SceneBatch with random plane hypotheses per view."""
+def scene_batch_from_arrays(images, cams: geo.CameraArrays, pair, key,
+                            depth_min: float = 1.0,
+                            depth_max: float = 10.0) -> SceneBatch:
+    """Initialize a SceneBatch with random plane hypotheses per view, drawn
+    from the scene's [depth_min, depth_max] range."""
     from ..core.sampling import pack_bilinear
 
     V, H, W = images.shape
@@ -65,7 +66,8 @@ def scene_batch_from_arrays(images, cams: geo.CameraArrays, pair,
     ys = ys.astype(jnp.float32)
 
     def init_view(k, cam_i):
-        return geo.random_plane_hypothesis(k, cam_i, xs, ys, 1.0, 10.0)
+        return geo.random_plane_hypothesis(k, cam_i, xs, ys, depth_min,
+                                           depth_max)
 
     keys = jax.random.split(key, V)
     planes = jax.vmap(init_view)(keys, cams)

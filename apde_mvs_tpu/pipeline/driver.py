@@ -143,7 +143,7 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
     src_imgs = np.stack([pad_to_multiple(s[0], PAD_H, PAD_W) for s in src]) \
         if src else np.zeros((0, ph, pw), np.float32)
 
-    def _load_resized_bin(path, channels=1):
+    def _load_resized_bin(path):
         mat = read_bin_mat(path, cache=cache)
         if mat.shape[:2] != (h, w):
             mat = resize_nearest(mat, (h, w))

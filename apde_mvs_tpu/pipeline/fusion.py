@@ -92,51 +92,48 @@ def weak_vis_filter(views: Sequence[FusionView], problems, dense_folder,
     """Visibility-conflict filter over weak pixels (reference: WeakVisFilter,
     APD.cpp:962-1049): a weak point is skipped when it floats in front of
     enough higher-priority surfaces in other views."""
-    n = len(views)
+    from ..io import native
+
+    use_native = native.native_available()
     for ri, rv in enumerate(views):
         h, w = rv.depth.shape
-        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
         weak_sel = rv.weak == WEAK
-        Xw = _backproject_world(rv.camera, xs, ys, rv.depth)
         strong_occ = np.zeros((h, w), np.int32)
         weak_occ = np.zeros((h, w), np.int32)
-        from ..io import native
-        if native.native_available():
+        if use_native:
             for si, sv in enumerate(views):
                 if si != ri:
                     native.weak_vis_accumulate(
                         rv, sv, params.vis_max_baseline_deg,
                         params.vis_depth_margin, strong_occ, weak_occ)
-            rv.skip = weak_sel & (
-                (strong_occ >= params.strong_occluded_max)
-                | (weak_occ >= params.weak_occluded_max))
-            out = Path(dense_folder) / "APD" \
-                / f"{problems[ri].ref_image_id:08d}" / "skip.png"
-            write_image(out, (rv.skip * 255).astype(np.uint8))
-            continue
-        for si, sv in enumerate(views):
-            if si == ri:
-                continue
-            a = rv.camera.c - Xw
-            b = sv.camera.c - Xw
-            cosang = (a * b).sum(-1) / np.maximum(
-                np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-12)
-            angle = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
-            px, py, pd = _project(sv.camera, Xw)
-            sr = np.floor(py + 0.5).astype(np.int64)
-            sc = np.floor(px + 0.5).astype(np.int64)
-            sh, sw = sv.depth.shape
-            inb = (pd > 0) & (sc >= 0) & (sc < sw) & (sr >= 0) & (sr < sh) \
-                & (angle <= params.vis_max_baseline_deg)
-            src = np.clip(sr, 0, sh - 1)
-            scc = np.clip(sc, 0, sw - 1)
-            s_depth = sv.depth[src, scc]
-            s_weak = sv.weak[src, scc]
-            s_conf = sv.confidence[src, scc]
-            occluded = inb & (pd < s_depth - params.vis_depth_margin * s_depth)
-            strong_occ += (occluded & (s_weak == STRONG)).astype(np.int32)
-            weak_occ += (occluded & (s_weak == WEAK)
-                         & (s_conf < rv.confidence)).astype(np.int32)
+        else:
+            ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+            Xw = _backproject_world(rv.camera, xs, ys, rv.depth)
+            for si, sv in enumerate(views):
+                if si == ri:
+                    continue
+                a = rv.camera.c - Xw
+                b = sv.camera.c - Xw
+                cosang = (a * b).sum(-1) / np.maximum(
+                    np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1),
+                    1e-12)
+                angle = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+                px, py, pd = _project(sv.camera, Xw)
+                sr = np.floor(py + 0.5).astype(np.int64)
+                sc = np.floor(px + 0.5).astype(np.int64)
+                sh, sw = sv.depth.shape
+                inb = (pd > 0) & (sc >= 0) & (sc < sw) & (sr >= 0) & (sr < sh) \
+                    & (angle <= params.vis_max_baseline_deg)
+                src = np.clip(sr, 0, sh - 1)
+                scc = np.clip(sc, 0, sw - 1)
+                s_depth = sv.depth[src, scc]
+                s_weak = sv.weak[src, scc]
+                s_conf = sv.confidence[src, scc]
+                occluded = inb & (pd < s_depth
+                                  - params.vis_depth_margin * s_depth)
+                strong_occ += (occluded & (s_weak == STRONG)).astype(np.int32)
+                weak_occ += (occluded & (s_weak == WEAK)
+                             & (s_conf < rv.confidence)).astype(np.int32)
         rv.skip = weak_sel & ((strong_occ >= params.strong_occluded_max)
                               | (weak_occ >= params.weak_occluded_max))
         out = Path(dense_folder) / "APD" / f"{problems[ri].ref_image_id:08d}" \
@@ -238,6 +235,15 @@ def merge_fusion_shards(dense_folder, name: str, num_shards: int,
     return ply_path
 
 
+def _concat_points(all_pts, all_cols):
+    """Concatenate per-view point/color chunks; empty input (e.g. a fusion
+    shard with no reference views) yields empty (0, 3) arrays instead of the
+    ValueError np.concatenate raises on an empty list."""
+    if not all_pts:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+    return np.concatenate(all_pts), np.concatenate(all_cols)
+
+
 def _fuse_general(views, problems, params: FusionParams, ref_indices=None):
     """Dynamic-consistency fusion (reference: RunFusion, APD.cpp:1051-1227)."""
     all_pts, all_cols = [], []
@@ -274,7 +280,7 @@ def _fuse_general(views, problems, params: FusionParams, ref_indices=None):
         color[accept] /= (num_consistent[accept] + 1)[:, None]
         all_pts.append(Xw[accept].astype(np.float32))
         all_cols.append(np.clip(color[accept], 0, 255).astype(np.uint8))
-    return np.concatenate(all_pts), np.concatenate(all_cols)
+    return _concat_points(all_pts, all_cols)
 
 
 def _fuse_tat(views, problems, params: FusionParams, advanced: bool,
@@ -328,4 +334,4 @@ def _fuse_tat(views, problems, params: FusionParams, advanced: bool,
             color[accepted] /= (count_at_accept[accepted] + 1)[:, None]
         all_pts.append(Xw[accepted].astype(np.float32))
         all_cols.append(np.clip(color[accepted], 0, 255).astype(np.uint8))
-    return np.concatenate(all_pts), np.concatenate(all_cols)
+    return _concat_points(all_pts, all_cols)

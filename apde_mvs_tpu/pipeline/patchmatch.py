@@ -46,12 +46,17 @@ class StaticCfg(NamedTuple):
     rotate_time: int
 
 
-def _bucket(n: int, minimum: int = 1024) -> int:
-    """Pad a dynamic count to a 1.25x-growth bucket to bound recompiles."""
+def _bucket(n: int, minimum: int = 4096) -> int:
+    """Pad a dynamic count to a 4x-growth bucket.
+
+    The weak count differs per view, and every distinct bucket size compiles
+    a fresh kernel set (minutes on TPU); coarse buckets mean at most ~5
+    distinct sizes ever exist per scan, at the cost of up to 4x masked lanes
+    in the (cheap, minority-pixel) weak sweeps."""
     b = minimum
     while b < n:
-        b = int(b * 5 // 4 + 127) & ~127
-    return max(b, minimum)
+        b *= 4
+    return b
 
 
 def pad_to_multiple(arr: np.ndarray, mh: int, mw: int, mode="edge"):

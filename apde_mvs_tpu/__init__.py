@@ -11,7 +11,7 @@ Layering (top to bottom), mirroring the reference's capability surface
 
 - ``tools``     evaluation / result collection / visualization exports
 - ``cli``       batch scheduler (run.py parity) + per-scan engine CLI (APD parity)
-- ``datasets``  COLMAP->MVSNet conversion, scene layout loader, SAM masks
+- ``datasets``  COLMAP->MVSNet conversion, scan layout normalization, SAM masks
 - ``pipeline``  multi-scale driver, per-view PatchMatch, fusion
 - ``parallel``  device mesh, view sharding, multi-chip depth exchange
 - ``ops``       PatchMatch compute ops (cost, propagation, anchors, classify)

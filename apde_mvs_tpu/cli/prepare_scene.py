@@ -7,7 +7,7 @@ import argparse
 import os
 import sys
 
-from ..datasets.loader import DatasetLayoutConfig, SceneDatasetLoader
+from ..datasets import layout
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -24,24 +24,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def prepare(scan_dir: str, config: DatasetLayoutConfig) -> bool:
-    loader = SceneDatasetLoader(scan_dir, config)
+def prepare(scan_dir: str, candidates, suffixes, link: bool) -> bool:
     try:
-        canonical = loader.ensure_standard_image_dir()
+        canonical = layout.normalize_image_dir(scan_dir, candidates, link=link)
+        n = layout.count_images(scan_dir, candidates, suffixes)
     except (FileNotFoundError, FileExistsError) as exc:
         print(f"[{scan_dir}] failed: {exc}")
         return False
-    n = loader.count_images()
     print(f"[{scan_dir}] images -> {canonical} ({n} files)")
     return True
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    config = DatasetLayoutConfig(
-        image_dir_candidates=args.image_dir_name,
-        image_suffixes=args.image_suffixes,
-        create_symlink=not args.no_image_symlink)
     scans = list(args.scan_dir)
     if args.data_dir:
         scans += [os.path.join(args.data_dir, d)
@@ -50,7 +45,8 @@ def main(argv=None) -> int:
     if not scans:
         print("nothing to prepare (pass --data_dir or --scan_dir)")
         return 1
-    ok = sum(prepare(s, config) for s in scans)
+    ok = sum(prepare(s, args.image_dir_name, args.image_suffixes,
+                     not args.no_image_symlink) for s in scans)
     print(f"{ok}/{len(scans)} scans prepared")
     return 0 if ok else 1
 

@@ -24,7 +24,7 @@ import sys
 import time
 
 from .. import config as cfg
-from ..datasets.loader import DatasetLayoutConfig, SceneDatasetLoader
+from ..datasets import layout
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -115,13 +115,9 @@ def worker(args, scan: str) -> None:
     if not os.path.isdir(scan_dir):
         print(f"{scan_dir} is not a dir")
         return
-    layout = DatasetLayoutConfig(
-        image_dir_candidates=args.image_dir_name,
-        image_suffixes=args.image_suffixes,
-        create_symlink=not args.no_image_symlink)
-    loader = SceneDatasetLoader(scan_dir, layout)
     try:
-        loader.ensure_standard_image_dir()
+        layout.normalize_image_dir(scan_dir, args.image_dir_name,
+                                   link=not args.no_image_symlink)
     except (FileNotFoundError, FileExistsError) as exc:
         print(f"[{scan}] cannot prepare image directory: {exc}")
         return
@@ -210,21 +206,17 @@ def main(argv=None) -> int:
         print(f"sleep for reservation: {args.reservation} ({secs:.0f}s)")
         time.sleep(secs)
 
-    layout = DatasetLayoutConfig(
-        image_dir_candidates=args.image_dir_name,
-        image_suffixes=args.image_suffixes,
-        create_symlink=not args.no_image_symlink)
     counted = []
     for scan in select_scans(args):
         scan_dir = os.path.join(args.data_dir, scan)
         if not os.path.isdir(scan_dir):
             print(f"{scan_dir} is not a dir")
             continue
-        loader = SceneDatasetLoader(scan_dir, layout)
         try:
             if not args.no_image_symlink:
-                loader.ensure_standard_image_dir()
-            counted.append((scan, loader.count_images()))
+                layout.normalize_image_dir(scan_dir, args.image_dir_name)
+            counted.append((scan, layout.count_images(
+                scan_dir, args.image_dir_name, args.image_suffixes)))
         except (FileNotFoundError, FileExistsError) as exc:
             print(f"skip {scan_dir}: {exc}")
     if not counted:

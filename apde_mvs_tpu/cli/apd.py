@@ -20,8 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dense_folder", "-d", required=True,
                    help="path to dense folder")
     p.add_argument("--gpu_index", "-g", type=int, default=0,
-                   help="device index (accepted for CLI parity; device "
-                        "placement is managed by JAX)")
+                   help="local device slot this engine process binds to "
+                        "(reference: cudaSetDevice, main.cpp:264)")
     p.add_argument("--dataset", "-D", default="DTU",
                    help="dataset name, DTU, ETH3D, TaT_a, TaT_i or General")
     p.add_argument("--only_fuse", "-f", type=_bool, default=False)
@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_color", "-c", type=_bool, default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pyramid_base", type=int, default=800)
+    p.add_argument("--views_parallel", type=str, default="auto",
+                   choices=["auto", "true", "false"],
+                   help="shard every view's pass over all local devices "
+                        "(auto: on when >1 device is attached)")
     p.add_argument("--fuse_shard", type=str, default=None,
                    help="distributed fusion: 'i,n' fuses ref views i mod n "
                         "into a partial PLY")
@@ -54,10 +58,11 @@ def main(argv=None) -> int:
         print(f"{k:14s}: {v}")
     print("============================================================")
 
-    from ..core.platform import enable_compilation_cache
+    from ..core.platform import bind_device, enable_compilation_cache
     from ..pipeline.driver import run_scan
 
     enable_compilation_cache()
+    bind_device(args.gpu_index)
 
     if args.merge_fusion:
         from ..pipeline.fusion import merge_fusion_shards
@@ -78,7 +83,9 @@ def main(argv=None) -> int:
         flush=flush, export_anchor=args.export_anchor,
         export_curve=args.export_curve, export_color=args.export_color,
         seed=args.seed, pyramid_base=args.pyramid_base,
-        fuse_shard=fuse_shard)
+        fuse_shard=fuse_shard,
+        views_parallel={"auto": None, "true": True,
+                        "false": False}[args.views_parallel])
     return 0
 
 

@@ -19,3 +19,19 @@ def enable_compilation_cache(path: str = "~/.cache/apde_mvs_tpu_xla") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except AttributeError:
         pass
+
+
+def bind_device(index: int) -> None:
+    """Pin this process's computations to one local device.
+
+    The scan scheduler launches `device_num x work_num` engine processes and
+    passes each a device slot; binding makes those slots real on a multi-chip
+    host instead of piling every process onto device 0 (reference mechanism:
+    cudaSetDevice(gpu_index), main.cpp:264). Out-of-range indices wrap, so
+    over-subscribing workers degrades gracefully like the reference's slot
+    arithmetic.
+    """
+    import jax
+
+    devices = jax.local_devices()
+    jax.config.update("jax_default_device", devices[index % len(devices)])

@@ -157,12 +157,15 @@ class _SweepSetup(NamedTuple):
 _MAX_SWEEP_VIEWS = 8
 
 
-def _sweep_setup(data: CostData, state: PMState, x, y) -> _SweepSetup:
+def _sweep_setup(data: CostData, state: PMState, x, y,
+                 sweep_k: int = _MAX_SWEEP_VIEWS) -> _SweepSetup:
     """Shared setup of the disparity sweeps (reference: APD.cu:2121-2157,
     2356-2401): plane to camera frame, mean baseline of selected views,
     selection-gated view weights. The selected views are compacted to at
-    most _MAX_SWEEP_VIEWS per-pixel slots so the sweeps only sample views the
-    reference's `isSet(selected_views)` loops would touch."""
+    most `sweep_k` per-pixel slots so the sweeps only sample views the
+    reference's `isSet(selected_views)` loops would touch; the caller may
+    shrink `sweep_k` to the actual max per-pixel selection count (the sweep
+    cost is linear in it)."""
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     plane_world = fetch(state.planes, x, y)
@@ -178,7 +181,7 @@ def _sweep_setup(data: CostData, state: PMState, x, y) -> _SweepSetup:
         / jnp.maximum(valid_src, 1)
     disp = data.ref_cam.fx * base_line / jnp.where(depth != 0, depth, 1.0)
     ok = (depth != 0) & (valid_src > 0)
-    K = min(data.num_src, _MAX_SWEEP_VIEWS)
+    K = min(data.num_src, sweep_k)
     order = jnp.argsort(~sel, axis=-1, stable=True)[:, :K]
     sel_valid = jnp.take_along_axis(sel, order, -1)
     sel_w = jnp.take_along_axis(vw, order, -1)
@@ -209,7 +212,8 @@ def _sweep_cost(data: CostData, setup: _SweepSetup, win: RefWindow, x, y,
 def depth_to_weak(data: CostData, state: PMState, x, y, weak_peak_radius,
                   use_sa: bool, geom: bool, geom_factor, depth_min, depth_max,
                   strong_radius=5, strong_increment=2,
-                  return_curve: bool = False):
+                  return_curve: bool = False,
+                  sweep_k: int = _MAX_SWEEP_VIEWS):
     """Reliability classification for a pixel batch (reference: DepthToWeak,
     APD.cu:2103-2250): sweep 61 one-pixel-disparity steps around the current
     depth, find cost-curve local minima ("peaks"), classify STRONG/WEAK/
@@ -219,7 +223,7 @@ def depth_to_weak(data: CostData, state: PMState, x, y, weak_peak_radius,
     min_margin = 6
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
-    setup = _sweep_setup(data, state, x, y)
+    setup = _sweep_setup(data, state, x, y, sweep_k)
     win = precompute_ref_window(data, xf, yf, strong_radius, strong_increment,
                                 use_sa)
     radius = (RELIABLE_CURVE_SAMPLE_NUM - 1) // 2
@@ -275,13 +279,14 @@ def depth_to_weak(data: CostData, state: PMState, x, y, weak_peak_radius,
 
 def local_refine(data: CostData, state: PMState, x, y, use_sa: bool,
                  geom: bool, geom_factor, depth_min, depth_max,
-                 strong_radius=5, strong_increment=2):
+                 strong_radius=5, strong_increment=2,
+                 sweep_k: int = _MAX_SWEEP_VIEWS):
     """±5 one-pixel-disparity local depth sweep at fixed normal; replaces the
     depth when the cost improves by > 0.1 (reference: LocalRefine,
     APD.cu:2346-2432). Returns new depth values for the batch."""
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
-    setup = _sweep_setup(data, state, x, y)
+    setup = _sweep_setup(data, state, x, y, sweep_k)
     win = precompute_ref_window(data, xf, yf, strong_radius, strong_increment,
                                 use_sa)
     cost_now = _sweep_cost(data, setup, win, x, y, setup.depth, geom,

@@ -1,0 +1,187 @@
+"""Production multi-chip path: all views of a scan run their COMPLETE
+PatchMatch pass simultaneously, sharded over a device mesh.
+
+The reference scales across GPUs at scan granularity and exchanges neighbor
+depth maps through bin-files between passes (run.py:218-226,
+APD.cpp:592-610); here a pass over a whole scan is one SPMD program: each
+device runs `pipeline.full_pass` (APD setup, init, sweeps, classification,
+confidence, local refine) for its local reference views, and the
+between-pass depth exchange is a single `all_gather` over ICI.
+
+Layout decisions (vs the round-1 strong-sweep prototype in mesh.py):
+
+- Images are replicated as a flat (M+1, H, W) f32 table (all distinct view
+  ids of pair.txt) and bilinear quad tables are built on the fly per source
+  view inside the pass — replicating prepacked quads would cost 4x image
+  bytes per device and caps the scan size (round-1 finding).
+- Source-view lists of different lengths are padded with slot M: a dummy
+  view whose camera projects everything ~1e9 px off-image, so every padded
+  slot scores COST_MAX, receives zero sampling probability, and is never
+  selected — no validity masks thread through the cost kernels.
+- View counts not divisible by the mesh are padded with repeats of view 0;
+  their outputs are discarded on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import UNKNOWN
+from ..core import geometry as geo
+from ..core.sampling import pack_bilinear
+from ..ops.cost import CostData
+from ..ops.state import PMState
+from ..pipeline.full_pass import PassStatic, full_pass
+from .mesh import make_mesh
+
+
+class ScenePassInputs(NamedTuple):
+    """One pass's inputs for all views. Leading dims: M+1 = image-table
+    slots (replicated), Vp = mesh-padded problem count (view-sharded)."""
+
+    images: jnp.ndarray        # (M+1, H, W) f32, slot M = dummy zeros
+    cam_K: jnp.ndarray         # (M+1, 3, 3)
+    cam_R: jnp.ndarray         # (M+1, 3, 3)
+    cam_t: jnp.ndarray         # (M+1, 3)
+    cam_c: jnp.ndarray         # (M+1, 3)
+    pair: jnp.ndarray          # (Vp, S) int32 into the table, pad = M
+    ref_slot: jnp.ndarray      # (Vp,) int32 into the table
+    depth_slot: jnp.ndarray    # (M+1,) int32 table -> gathered-depth row,
+                               #   Vp = missing (zero depth)
+    dmin: jnp.ndarray          # (Vp,) f32
+    dmax: jnp.ndarray          # (Vp,) f32
+    valid: jnp.ndarray         # (H, W) bool real-pixel mask (shared)
+    # ---- view-sharded ----
+    prior_depth: jnp.ndarray   # (Vp, H, W) f32
+    prior_normal: jnp.ndarray  # (Vp, H, W, 3) f32
+    prior_weak: jnp.ndarray    # (Vp, H, W) int32
+    prior_conf: jnp.ndarray    # (Vp, H, W) f32
+    sa: jnp.ndarray            # (Vp, H, W) int32
+    weak_x: jnp.ndarray        # (Vp, cap) int32
+    weak_y: jnp.ndarray        # (Vp, cap) int32
+    weak_valid: jnp.ndarray    # (Vp, cap) bool
+    keys: jnp.ndarray          # (Vp, 2) uint32 per-view PRNG keys
+
+
+class ScenePassOutputs(NamedTuple):
+    depth: jnp.ndarray         # (Vp, H, W) f32
+    normal: jnp.ndarray        # (Vp, H, W, 3) f32 world-frame
+    weak: jnp.ndarray          # (Vp, H, W) int32
+    confidence: jnp.ndarray    # (Vp, H, W) f32
+    cost: jnp.ndarray          # (Vp, H, W) f32
+
+
+def dummy_camera(like_K: np.ndarray) -> tuple:
+    """Camera for padded source slots: principal point ~1e9 px off-image, so
+    every warp/projection lands far out of bounds -> COST_MAX / zero depth."""
+    K = like_K.copy()
+    K[0, 2] = -1e9
+    K[1, 2] = -1e9
+    return K, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), \
+        np.zeros(3, np.float32)
+
+
+def _pass_body(scene: ScenePassInputs, ransac_threshold, weak_peak_radius,
+               geom_factor, cfg: PassStatic, S: int, real_w: int, real_h: int,
+               geom_or_apd: bool, axis: str) -> ScenePassOutputs:
+    """shard_map body: full pass for each local view, ICI depth exchange."""
+    Vl, h, w = scene.prior_depth.shape
+    cams = geo.CameraArrays(scene.cam_K, scene.cam_R, scene.cam_t,
+                            scene.cam_c)
+    my_shard = jax.lax.axis_index(axis)
+
+    if geom_or_apd:
+        all_depths = jax.lax.all_gather(scene.prior_depth, axis, tiled=True)
+        # row Vp = missing-source depth (all zeros)
+        all_depths = jnp.concatenate(
+            [all_depths, jnp.zeros((1, h, w), jnp.float32)], axis=0)
+
+    def view_body(i, outs):
+        g = my_shard * Vl + i
+        ref = scene.ref_slot[g]
+        pair_row = scene.pair[g]                     # (S,) table slots
+        src_cams = geo.CameraArrays(*[a[pair_row] for a in cams])
+        src_imgs = scene.images[pair_row]            # (S, H, W)
+        quads = jax.vmap(pack_bilinear)(src_imgs)
+        if geom_or_apd:
+            src_depths = all_depths[scene.depth_slot[pair_row]]
+        else:
+            src_depths = jnp.zeros((S, h, w), jnp.float32)
+        data = CostData(
+            ref_cam=cams.view(ref), src_cams=src_cams,
+            ref_image=scene.images[ref], src_quads=quads,
+            sa_mask=scene.sa[i], src_depths=src_depths,
+            width=w, height=h, num_src=S,
+            real_width=real_w, real_height=real_h)
+
+        state = PMState.create(h, w, S, valid=scene.valid)
+        if cfg.use_apd:
+            state = state.replace(
+                weak=jnp.where(scene.valid, scene.prior_weak[i], UNKNOWN),
+                confidence=scene.prior_conf[i])
+        if not cfg.first_init:
+            state = state.replace(planes=jnp.concatenate(
+                [scene.prior_normal[i], scene.prior_depth[i][..., None]], -1))
+
+        state = full_pass(
+            data, state, scene.weak_x[i], scene.weak_y[i],
+            scene.weak_valid[i], scene.keys[i], ransac_threshold,
+            weak_peak_radius, scene.dmin[g], scene.dmax[g], geom_factor, cfg)
+
+        depth, normal, weak, conf, cost = outs
+        return (depth.at[i].set(state.planes[..., 3]),
+                normal.at[i].set(state.planes[..., :3]),
+                weak.at[i].set(state.weak),
+                conf.at[i].set(state.confidence),
+                cost.at[i].set(state.costs))
+
+    init = (jnp.zeros((Vl, h, w), jnp.float32),
+            jnp.zeros((Vl, h, w, 3), jnp.float32),
+            jnp.zeros((Vl, h, w), jnp.int32),
+            jnp.zeros((Vl, h, w), jnp.float32),
+            jnp.zeros((Vl, h, w), jnp.float32))
+    outs = jax.lax.fori_loop(0, Vl, view_body, init)
+    return ScenePassOutputs(*outs)
+
+
+@functools.lru_cache(maxsize=32)
+def build_sharded_full_pass(mesh: Mesh, cfg: PassStatic, S: int,
+                            shape: tuple, real_shape: tuple,
+                            geom_or_apd: bool, axis: str = "views"):
+    """jit(shard_map(full pass over local views)) for a fixed configuration.
+
+    One program compiles per (resolution, S, weak bucket, flag set) — the
+    same granularity as the serial engine's kernel cache."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    rep = P()
+    shd = P(axis)
+    in_specs = (ScenePassInputs(
+        images=rep, cam_K=rep, cam_R=rep, cam_t=rep, cam_c=rep,
+        pair=rep, ref_slot=rep, depth_slot=rep, dmin=rep, dmax=rep,
+        valid=rep,
+        prior_depth=shd, prior_normal=shd, prior_weak=shd, prior_conf=shd,
+        sa=shd, weak_x=shd, weak_y=shd, weak_valid=shd, keys=shd),
+        rep, rep, rep)
+    out_specs = ScenePassOutputs(depth=shd, normal=shd, weak=shd,
+                                 confidence=shd, cost=shd)
+
+    real_h, real_w = real_shape
+
+    def step(scene, ransac_threshold, weak_peak_radius, geom_factor):
+        return _pass_body(scene, ransac_threshold, weak_peak_radius,
+                          geom_factor, cfg, S, real_w, real_h, geom_or_apd,
+                          axis)
+
+    mapped = shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(mapped)

@@ -209,21 +209,13 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
     pm_ms = (time.time() - t_pm) * 1000
     problem.used_time_ms += pm_ms
 
-    # ---- crop + range clamp (reference: main.cpp:168-178) -----------------
-    depth = out.depth[:h, :w].astype(np.float32)
-    normal = out.normal[:h, :w].astype(np.float32)
-    weak = out.weak[:h, :w].astype(np.uint8)
-    confidence = out.confidence[:h, :w]
-    out_of_range = (depth < depth_min) | (depth > depth_max)
-    depth = np.where(out_of_range, 0.0, depth)
-    weak = np.where(out_of_range, np.uint8(UNKNOWN), weak)
-
-    write_bin_mat(problem.result_folder / "depths.bin", depth, cache=cache)
-    write_bin_mat(problem.result_folder / "normals.bin", normal, cache=cache)
-    write_bin_mat(problem.result_folder / "weak.bin", weak, cache=cache)
-    if geom_or_apd:
-        write_bin_mat(problem.result_folder / "confidence.bin", confidence,
-                      cache=cache)
+    persist_view_results(
+        problem, spec, out.depth[:h, :w], out.normal[:h, :w],
+        out.weak[:h, :w], out.confidence[:h, :w], depth_min, depth_max,
+        geom_or_apd, cache,
+        show_medium_result=(show_medium_result
+                            if show_medium_result is not None
+                            else spec.show_medium_result))
 
     if export_anchor and out.anchors is not None:
         write_bin_mat(problem.result_folder / "anchors_map.bin",
@@ -245,8 +237,36 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
         _write_reliable_curve(problem.result_folder / "reliable_curve.bin",
                               out.reliable_curve[:h, :w])
 
-    if show_medium_result if show_medium_result is not None \
-            else spec.show_medium_result:
+    total_ms = (time.time() - t0) * 1000
+    print(f"Processed view {format_index(problem.ref_image_id)} "
+          f"iter {spec.iteration}: PatchMatch {pm_ms:.0f} ms, "
+          f"total {total_ms:.0f} ms", flush=True)
+
+
+def persist_view_results(problem: Problem, spec: cfg.PassSpec,
+                         depth: np.ndarray, normal: np.ndarray,
+                         weak: np.ndarray, confidence: np.ndarray,
+                         depth_min: float, depth_max: float,
+                         geom_or_apd: bool, cache,
+                         show_medium_result: bool = False) -> None:
+    """Range-clamp + persist one view's pass outputs (already cropped to the
+    real resolution); shared by the serial and view-parallel engines
+    (reference: main.cpp:168-190)."""
+    depth = depth.astype(np.float32)
+    normal = normal.astype(np.float32)
+    weak = weak.astype(np.uint8)
+    out_of_range = (depth < depth_min) | (depth > depth_max)
+    depth = np.where(out_of_range, 0.0, depth)
+    weak = np.where(out_of_range, np.uint8(UNKNOWN), weak)
+
+    write_bin_mat(problem.result_folder / "depths.bin", depth, cache=cache)
+    write_bin_mat(problem.result_folder / "normals.bin", normal, cache=cache)
+    write_bin_mat(problem.result_folder / "weak.bin", weak, cache=cache)
+    if geom_or_apd:
+        write_bin_mat(problem.result_folder / "confidence.bin", confidence,
+                      cache=cache)
+
+    if show_medium_result:
         it = spec.iteration
         visualize.show_depth_map(
             problem.result_folder / f"depth_{it}.jpg", depth, depth_min,
@@ -258,11 +278,6 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
         if geom_or_apd:
             visualize.show_confidence_map(
                 problem.result_folder / f"confidence_{it}.png", confidence)
-
-    total_ms = (time.time() - t0) * 1000
-    print(f"Processed view {format_index(problem.ref_image_id)} "
-          f"iter {spec.iteration}: PatchMatch {pm_ms:.0f} ms, "
-          f"total {total_ms:.0f} ms", flush=True)
 
 
 def _export_nearest_strong(path, nearest: np.ndarray) -> None:
@@ -304,8 +319,12 @@ def run_scan(dense_folder, dataset: str = "General", *,
              flush: bool = False, export_anchor: bool = False,
              export_curve: bool = False, export_color: bool = True,
              seed: int = 0, pyramid_base: int = PYRAMID_BASE_MAX_DIM,
-             fuse_shard=None) -> None:
-    """Full scan reconstruction (reference: main.cpp:210-411)."""
+             fuse_shard=None, views_parallel: Optional[bool] = None) -> None:
+    """Full scan reconstruction (reference: main.cpp:210-411).
+
+    ``views_parallel``: run every view's pass simultaneously with views
+    sharded over all local devices (pipeline.scan_parallel). Default (None)
+    auto-enables when more than one device is attached."""
     from ..core.platform import enable_compilation_cache
     from .fusion import run_fusion
 
@@ -335,11 +354,24 @@ def run_scan(dense_folder, dataset: str = "General", *,
         cache=cache)
     schedule = cfg.build_schedule(max(img0.shape), dataset, use_sa=use_sa,
                                   use_impetus=use_impetus, base=pyramid_base)
+    if views_parallel is None:
+        import jax
+        views_parallel = len(jax.devices()) > 1
+    runner = None
+    if views_parallel:
+        from .scan_parallel import ViewParallelRunner
+        runner = ViewParallelRunner(problems, cache, seed=seed)
+
     t0 = time.time()
     for spec in schedule:
         print(f"======== iteration {spec.iteration} (round {spec.round_index},"
               f" scale 1/{spec.scale_size}, {spec.params.state}) ========",
               flush=True)
+        # debug exports (anchors/curves) need the serial engine's host stages
+        debug_pass = spec.is_last_iteration and (export_anchor or export_curve)
+        if runner is not None and not debug_pass:
+            runner.run_pass(spec)
+            continue
         for problem in problems:
             process_problem(
                 problem, spec, cache=cache, seed=seed,

@@ -168,25 +168,39 @@ def _jit_iterations(shape, num_src, cfg: StaticCfg, nw: int):
 
 @functools.lru_cache(maxsize=64)
 def _jit_classify(shape, num_src, cfg: StaticCfg, chunk: int,
-                  return_curve: bool):
+                  return_curve: bool, sweep_k: int):
     def f(data, state, x, y, weak_peak_radius, geom_factor, depth_min,
           depth_max):
         return filters.depth_to_weak(
             data, state, x, y, weak_peak_radius, cfg.prop.use_sa,
             cfg.prop.geom_consistency, geom_factor, depth_min, depth_max,
             cfg.prop.strong_radius, cfg.prop.strong_increment,
-            return_curve=return_curve)
+            return_curve=return_curve, sweep_k=sweep_k)
     return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=64)
-def _jit_local_refine(shape, num_src, cfg: StaticCfg, chunk: int):
+def _jit_local_refine(shape, num_src, cfg: StaticCfg, chunk: int,
+                      sweep_k: int):
     def f(data, state, x, y, geom_factor, depth_min, depth_max):
         return filters.local_refine(
             data, state, x, y, cfg.prop.use_sa, cfg.prop.geom_consistency,
             geom_factor, depth_min, depth_max,
-            cfg.prop.strong_radius, cfg.prop.strong_increment)
+            cfg.prop.strong_radius, cfg.prop.strong_increment,
+            sweep_k=sweep_k)
     return jax.jit(f)
+
+
+def _sweep_view_bucket(max_selected: int, num_src: int) -> int:
+    """Static slot count for the classify/refine view compaction: the sweeps
+    cost linearly in the slot count, and the per-pixel selection rarely
+    exceeds top_k (4), so sweeping the historical fixed 8 slots doubled the
+    classification cost for nothing. Bucketed so at most 3 kernel variants
+    compile."""
+    for b in (2, 4, 8):
+        if max_selected <= b:
+            return min(b, max(num_src, 1))
+    return min(8, num_src)
 
 
 @functools.lru_cache(maxsize=64)
@@ -290,44 +304,70 @@ def run_patchmatch(
         data, state, k_iter, weak_x, weak_y, weak_valid, anchors,
         dmin, dmax, gf)
 
-    # ---- reliability classification (chunked) -----------------------------
+    # ---- reliability classification (compacted + chunked) -----------------
+    # Pixels the sweep would classify UNKNOWN without sampling anything
+    # (margins, padding, zero depth, empty selection — the guard conditions
+    # of DepthToWeak, APD.cu:2107-2119) are skipped on the host, and the
+    # sweeps' per-pixel view slots shrink to the actual max selection count:
+    # both cut the dominant 61-step sweep cost without changing any output.
     total = h * w
-    ys, xs = np.mgrid[0:h, 0:w]
-    xs_f = jnp.asarray(xs.reshape(-1), jnp.int32)
-    ys_f = jnp.asarray(ys.reshape(-1), jnp.int32)
+    sel_count_map = np.asarray(state.selected.sum(-1))
+    depth_map = np.asarray(state.planes[..., 3])
+    valid_np = np.asarray(state.valid)
+    sweep_k = _sweep_view_bucket(int(sel_count_map.max()), S)
+    min_margin = 6
+    ys_g, xs_g = np.mgrid[0:h, 0:w]
+    margin_np = (xs_g < min_margin) | (ys_g < min_margin) \
+        | (xs_g >= data.img_w - min_margin) | (ys_g >= data.img_h - min_margin)
+    sweepable = valid_np & (depth_map != 0.0) & (sel_count_map > 0)
     chunk = min(classify_chunk, total)
-    n_chunks = -(-total // chunk)
-    pad_total = n_chunks * chunk
-    xs_p = jnp.concatenate([xs_f, jnp.zeros((pad_total - total,), jnp.int32)])
-    ys_p = jnp.concatenate([ys_f, jnp.zeros((pad_total - total,), jnp.int32)])
-    classify = _jit_classify(shape, S, cfg, chunk, export_curve)
-    new_weak = []
-    curves = [] if export_curve else None
-    for ci in range(n_chunks):
-        cx = jax.lax.dynamic_slice(xs_p, (ci * chunk,), (chunk,))
-        cy = jax.lax.dynamic_slice(ys_p, (ci * chunk,), (chunk,))
-        nwk, curve = classify(data, state, cx, cy,
-                              jnp.int32(params.weak_peak_radius), gf,
-                              dmin, dmax)
-        new_weak.append(np.asarray(nwk))
+
+    def _chunked(fn, mask):
+        """Run a flat-pixel-batch jit over mask's pixels in fixed chunks;
+        yields ((rows, cols), flat results)."""
+        cyy, cxx = np.nonzero(mask)
+        n = len(cxx)
+        if n == 0:
+            return (cyy, cxx), []
+        pad = (-n) % chunk
+        cx_p = np.pad(cxx, (0, pad)).astype(np.int32)
+        cy_p = np.pad(cyy, (0, pad)).astype(np.int32)
+        outs = [fn(jnp.asarray(cx_p[s * chunk:(s + 1) * chunk]),
+                   jnp.asarray(cy_p[s * chunk:(s + 1) * chunk]))
+                for s in range(len(cx_p) // chunk)]
+        return (cyy, cxx), outs
+
+    classify = _jit_classify(shape, S, cfg, chunk, export_curve, sweep_k)
+    # curve export is a debug mode: sweep everything so the exported curve
+    # covers every pixel, as the reference's exporter does
+    cls_mask = np.ones((h, w), bool) if export_curve \
+        else (sweepable & ~margin_np)
+    (cls_y, cls_x), outs = _chunked(
+        lambda cx, cy: classify(data, state, cx, cy,
+                                jnp.int32(params.weak_peak_radius), gf,
+                                dmin, dmax), cls_mask)
+    weak_map = np.full((h, w), UNKNOWN, np.int32)
+    reliable_curve = None
+    if outs:
+        weak_map[cls_y, cls_x] = np.concatenate(
+            [np.asarray(o[0]) for o in outs])[:len(cls_x)]
         if export_curve:
-            curves.append(np.asarray(curve))
-    weak_map = np.concatenate(new_weak)[:total].reshape(h, w)
+            reliable_curve = np.zeros(
+                (h, w, np.asarray(outs[0][1]).shape[-1]), np.float32)
+            reliable_curve[cls_y, cls_x] = np.concatenate(
+                [np.asarray(o[1]) for o in outs])[:len(cls_x)]
     state = state.replace(weak=jnp.asarray(weak_map, jnp.int32))
-    reliable_curve = (np.concatenate(curves)[:total].reshape(h, w, -1)
-                      if export_curve else None)
 
     # ---- confidence + local refine ----------------------------------------
     if params.geom_consistency or use_apd:
         state = _jit_confidence(shape, S)(data, state)
-    refine = _jit_local_refine(shape, S, cfg, chunk)
-    new_depth = []
-    for ci in range(n_chunks):
-        cx = jax.lax.dynamic_slice(xs_p, (ci * chunk,), (chunk,))
-        cy = jax.lax.dynamic_slice(ys_p, (ci * chunk,), (chunk,))
-        nd = refine(data, state, cx, cy, gf, dmin, dmax)
-        new_depth.append(np.asarray(nd))
-    depth_map = np.concatenate(new_depth)[:total].reshape(h, w)
+    refine = _jit_local_refine(shape, S, cfg, chunk, sweep_k)
+    (ref_y, ref_x), outs = _chunked(
+        lambda cx, cy: refine(data, state, cx, cy, gf, dmin, dmax), sweepable)
+    depth_map = depth_map.copy()
+    if outs:
+        depth_map[ref_y, ref_x] = np.concatenate(
+            [np.asarray(o) for o in outs])[:len(ref_x)]
     state = state.replace(
         planes=state.planes.at[..., 3].set(jnp.asarray(depth_map)))
 

@@ -1,0 +1,238 @@
+"""Host orchestration of the multi-chip scan engine.
+
+`ViewParallelRunner` replaces the serial `for problem: process_problem(...)`
+inner loop of `run_scan` with one SPMD program per pass: every reference
+view's complete PatchMatch pass runs simultaneously, views sharded over the
+local device mesh (`parallel.scene`), with the reference's file-based
+neighbor-depth exchange (APD.cpp:592-610) becoming an ICI all-gather.
+
+Files remain the interchange between passes — each pass reads the previous
+pass's depths/normals/weak/confidence bins (through the write-through memory
+cache) and persists its own, exactly like the serial engine, so resume /
+only_fuse / visualization semantics are unchanged and a scan can switch
+between serial and parallel engines at any pass boundary.
+
+Pass-ordering semantics: the serial engine processes views in order within a
+pass, so a geometric pass sees *current-pass* depths for already-processed
+neighbors (incidental Gauss-Seidel). The parallel engine is Jacobi: every
+view reads the *previous* pass's depths. This matches the reference's own
+multi-GPU behavior (concurrently scheduled scans see whatever is on disk)
+and is the only formulation that parallelizes; photometric passes are
+bitwise identical to the serial engine (pinned by tests/test_full_pass.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import config as cfg
+from ..config import UNKNOWN, WEAK
+from ..io import MemoryCache, read_bin_mat
+from ..io.images import resize_nearest
+from .driver import (PAD_H, PAD_W, Problem, _load_scaled_view, format_index,
+                     persist_view_results)
+from .full_pass import PassStatic
+from .patchmatch import _bucket, pad_to_multiple
+
+
+class _RoundData:
+    """Per-pyramid-round scene tables (rebuilt when the scale changes)."""
+
+    def __init__(self, problems: List[Problem], scale_size: int, cache,
+                 n_devices: int):
+        import jax.numpy as jnp
+        from ..parallel.scene import dummy_camera
+
+        self.scale_size = scale_size
+        ids: List[int] = []
+        for p in problems:
+            for vid in [p.ref_image_id] + list(p.src_image_ids):
+                if vid not in ids:
+                    ids.append(vid)
+        slot = {vid: i for i, vid in enumerate(ids)}
+        M = len(ids)
+
+        images = []
+        cams = []
+        for vid in ids:
+            img, cam = _load_scaled_view(problems[0], vid, scale_size, cache)
+            images.append(pad_to_multiple(img, PAD_H, PAD_W))
+            cams.append(cam)
+        self.h, self.w = img.shape
+        self.ph, self.pw = images[0].shape
+        dK, dR, dt, dc = dummy_camera(cams[0].K.astype(np.float32))
+        self.images = np.concatenate(
+            [np.stack(images), np.zeros((1, self.ph, self.pw), np.float32)])
+        self.cam_K = np.concatenate(
+            [np.stack([c.K for c in cams]).astype(np.float32), dK[None]])
+        self.cam_R = np.concatenate(
+            [np.stack([c.R for c in cams]).astype(np.float32), dR[None]])
+        self.cam_t = np.concatenate(
+            [np.stack([c.t for c in cams]).astype(np.float32), dt[None]])
+        self.cam_c = np.concatenate(
+            [np.stack([c.c for c in cams]).astype(np.float32), dc[None]])
+
+        V = len(problems)
+        self.S = max(len(p.src_image_ids) for p in problems)
+        n_mesh = min(n_devices, V)
+        self.Vp = -(-V // n_mesh) * n_mesh
+        self.n_mesh = n_mesh
+        # padded problem slots repeat problem 0; outputs are discarded
+        probs = list(problems) + [problems[0]] * (self.Vp - V)
+        self.pair = np.full((self.Vp, self.S), M, np.int32)
+        self.ref_slot = np.zeros((self.Vp,), np.int32)
+        self.dmin = np.zeros((self.Vp,), np.float32)
+        self.dmax = np.zeros((self.Vp,), np.float32)
+        for i, p in enumerate(probs):
+            self.ref_slot[i] = slot[p.ref_image_id]
+            for j, sid in enumerate(p.src_image_ids):
+                self.pair[i, j] = slot[sid]
+            ref_cam = cams[slot[p.ref_image_id]]
+            self.dmin[i] = ref_cam.depth_min * cfg.DEPTH_MIN_FACTOR
+            self.dmax[i] = ref_cam.depth_max * cfg.DEPTH_MAX_FACTOR
+        # table slot -> row in the gathered (Vp real + 1 dummy) depth stack;
+        # ids that are never reference views have no depth map -> dummy row
+        ref_row = {p.ref_image_id: i for i, p in enumerate(problems)}
+        self.depth_slot = np.full((M + 1,), self.Vp, np.int32)
+        for vid, s in slot.items():
+            if vid in ref_row:
+                self.depth_slot[s] = ref_row[vid]
+        self.valid = np.zeros((self.ph, self.pw), bool)
+        self.valid[:self.h, :self.w] = True
+
+
+class ViewParallelRunner:
+    """Runs each PassSpec for all views at once on the local device mesh."""
+
+    def __init__(self, problems: List[Problem], cache: Optional[MemoryCache],
+                 seed: int = 0, mesh=None, anchor_radius_budget: int = 25):
+        self.problems = problems
+        self.cache = cache
+        self.seed = seed
+        self.mesh = mesh
+        self.radius_budget = anchor_radius_budget
+        self._round: Optional[_RoundData] = None
+
+    def _round_data(self, spec: cfg.PassSpec) -> _RoundData:
+        import jax
+
+        n_dev = len(jax.devices()) if self.mesh is None \
+            else self.mesh.devices.size
+        if self._round is None or self._round.scale_size != spec.scale_size:
+            self._round = _RoundData(self.problems, spec.scale_size,
+                                     self.cache, n_dev)
+        return self._round
+
+    def _load_prior(self, problem: Problem, name: str, rd: _RoundData,
+                    dtype=np.float32, channels: int = 0) -> np.ndarray:
+        mat = read_bin_mat(problem.result_folder / name, cache=self.cache)
+        if mat.shape[:2] != (rd.h, rd.w):
+            mat = resize_nearest(mat, (rd.h, rd.w))
+        return pad_to_multiple(mat.astype(dtype), PAD_H, PAD_W,
+                               mode="constant")
+
+    def run_pass(self, spec: cfg.PassSpec) -> None:
+        import jax
+        import jax.numpy as jnp
+        from ..parallel.mesh import make_mesh
+        from ..parallel.scene import ScenePassInputs, build_sharded_full_pass
+
+        t0 = time.time()
+        params = spec.params
+        geom_or_apd = params.geom_consistency or params.use_apd
+        use_apd = params.use_apd and params.state != "first_init"
+        first_init = params.state == "first_init"
+        rd = self._round_data(spec)
+        V = len(self.problems)
+        Vp, ph, pw = rd.Vp, rd.ph, rd.pw
+
+        prior_depth = np.zeros((Vp, ph, pw), np.float32)
+        prior_normal = np.zeros((Vp, ph, pw, 3), np.float32)
+        prior_weak = np.full((Vp, ph, pw), UNKNOWN, np.int32)
+        prior_conf = np.ones((Vp, ph, pw), np.float32)
+        sa = np.zeros((Vp, ph, pw), np.int32)
+        probs = list(self.problems) + [self.problems[0]] * (Vp - V)
+        for i, p in enumerate(probs):
+            if not first_init:
+                prior_depth[i] = self._load_prior(p, "depths.bin", rd)
+                prior_normal[i] = self._load_prior(p, "normals.bin", rd)
+            if use_apd:
+                prior_weak[i] = np.where(
+                    rd.valid, self._load_prior(p, "weak.bin", rd, np.int32),
+                    UNKNOWN)
+                prior_conf[i] = self._load_prior(p, "confidence.bin", rd)
+                if params.use_sa:
+                    sa_path = p.dense_folder / "sa_masks" / \
+                        (format_index(p.ref_image_id) + ".bin")
+                    if sa_path.exists():
+                        mat = read_bin_mat(sa_path, cache=self.cache)
+                        if mat.shape[:2] != (rd.h, rd.w):
+                            mat = resize_nearest(mat, (rd.h, rd.w))
+                        sa[i] = pad_to_multiple(mat.astype(np.int32), PAD_H,
+                                                PAD_W, mode="constant")
+
+        # ---- per-view weak compaction to a shared bucketed capacity -------
+        cap = 0
+        weak_lists = []
+        if use_apd:
+            for i in range(Vp):
+                wy, wx = np.nonzero(prior_weak[i] == WEAK)
+                weak_lists.append((wx, wy))
+                cap = max(cap, len(wx))
+            n_weak0 = len(weak_lists[0][0])
+            print(f"Weak counts: max {cap}, view0 {n_weak0} / {ph * pw} = "
+                  f"{n_weak0 / (ph * pw) * 100:.1f}%", flush=True)
+            cap = _bucket(cap) if cap > 0 else 0
+        weak_x = np.zeros((Vp, max(cap, 1)), np.int32)
+        weak_y = np.zeros((Vp, max(cap, 1)), np.int32)
+        weak_valid = np.zeros((Vp, max(cap, 1)), bool)
+        if cap > 0:
+            for i, (wx, wy) in enumerate(weak_lists):
+                weak_x[i, :len(wx)] = wx
+                weak_y[i, :len(wy)] = wy
+                weak_valid[i, :len(wx)] = True
+
+        keys = np.stack([
+            np.asarray(jax.random.PRNGKey(
+                self.seed * 1000003 + p.ref_image_id * 131 + spec.iteration))
+            for p in probs]).astype(np.uint32)
+
+        pass_cfg = PassStatic.from_params(
+            params, nw_cap=cap if use_apd else 0,
+            radius_budget=self.radius_budget)
+        mesh = self.mesh if self.mesh is not None \
+            else make_mesh(num_devices=rd.n_mesh)
+        step = build_sharded_full_pass(
+            mesh, pass_cfg, rd.S, (ph, pw), (rd.h, rd.w), geom_or_apd)
+
+        scene = ScenePassInputs(
+            images=rd.images, cam_K=rd.cam_K, cam_R=rd.cam_R,
+            cam_t=rd.cam_t, cam_c=rd.cam_c, pair=rd.pair,
+            ref_slot=rd.ref_slot, depth_slot=rd.depth_slot,
+            dmin=rd.dmin, dmax=rd.dmax, valid=rd.valid,
+            prior_depth=prior_depth, prior_normal=prior_normal,
+            prior_weak=prior_weak, prior_conf=prior_conf, sa=sa,
+            weak_x=weak_x, weak_y=weak_y, weak_valid=weak_valid, keys=keys)
+        outs = step(scene, jnp.float32(params.ransac_threshold),
+                    jnp.int32(params.weak_peak_radius),
+                    jnp.float32(params.geom_factor))
+        depth = np.asarray(outs.depth)
+        normal = np.asarray(outs.normal)
+        weak = np.asarray(outs.weak)
+        conf = np.asarray(outs.confidence)
+        pm_ms = (time.time() - t0) * 1000
+
+        for i, p in enumerate(self.problems):
+            persist_view_results(
+                p, spec, depth[i, :rd.h, :rd.w], normal[i, :rd.h, :rd.w],
+                weak[i, :rd.h, :rd.w],
+                np.clip(conf[i, :rd.h, :rd.w], 0, 255).astype(np.uint8),
+                float(rd.dmin[i]), float(rd.dmax[i]), geom_or_apd,
+                self.cache, show_medium_result=spec.show_medium_result)
+            p.used_time_ms += pm_ms / V
+        print(f"Processed {V} views iter {spec.iteration} on "
+              f"{mesh.devices.size} device(s): {pm_ms:.0f} ms "
+              f"({pm_ms / V:.0f} ms/view)", flush=True)

@@ -1,0 +1,99 @@
+"""View-parallel engine equivalence: the sharded full pass must reproduce
+the serial engine (photometric passes) and be invariant to the mesh size."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from apde_mvs_tpu import config as cfg
+from apde_mvs_tpu.io import binmat
+from apde_mvs_tpu.parallel.mesh import make_mesh
+from apde_mvs_tpu.pipeline import driver
+from apde_mvs_tpu.pipeline.scan_parallel import ViewParallelRunner
+from apde_mvs_tpu.testing import synthetic
+
+
+def _make_scan(tmp_path, name):
+    scene = synthetic.make_scene(num_views=3, height=48, width=64,
+                                 weak_region=(-0.3, 0.3, -0.2, 0.2))
+    root = tmp_path / name
+    synthetic.write_scene_to_disk(scene, root)
+    return scene, root
+
+
+def _read_outputs(root, view):
+    d = binmat.read_bin_mat(root / "APD" / f"{view:08d}" / "depths.bin")
+    n = binmat.read_bin_mat(root / "APD" / f"{view:08d}" / "normals.bin")
+    w = binmat.read_bin_mat(root / "APD" / f"{view:08d}" / "weak.bin")
+    return d, n, w
+
+
+def test_first_pass_matches_serial_bitwise(tmp_path):
+    """The photometric FIRST_INIT pass has no cross-view depth dependence, so
+    serial and view-parallel engines must agree bit-for-bit (same ops, same
+    per-view key streams)."""
+    _, root_a = _make_scan(tmp_path, "serial")
+    _, root_b = _make_scan(tmp_path, "parallel")
+    schedule = cfg.build_schedule(64, "General", use_sa=False, base=32)
+    spec = schedule[0]
+    assert spec.params.state == "first_init"
+
+    problems_a = driver.generate_sample_list(root_a)
+    for p in problems_a:
+        driver.process_problem(p, spec, cache=None, seed=0)
+
+    problems_b = driver.generate_sample_list(root_b)
+    ViewParallelRunner(problems_b, cache=None, seed=0).run_pass(spec)
+
+    for v in range(3):
+        da, na, wa = _read_outputs(root_a, v)
+        db, nb, wb = _read_outputs(root_b, v)
+        np.testing.assert_array_equal(da, db, err_msg=f"depth view {v}")
+        np.testing.assert_array_equal(na, nb, err_msg=f"normal view {v}")
+        np.testing.assert_array_equal(wa, wb, err_msg=f"weak view {v}")
+
+
+@pytest.mark.slow
+def test_full_scan_mesh_size_invariant(tmp_path):
+    """A complete multi-round scan (APD machinery included) produces
+    identical results on a 1-device and a 3-device mesh."""
+    _, root_a = _make_scan(tmp_path, "mesh1")
+    _, root_b = _make_scan(tmp_path, "mesh3")
+    schedule = cfg.build_schedule(64, "General", use_sa=False, base=32)
+
+    runner_a = ViewParallelRunner(driver.generate_sample_list(root_a),
+                                  cache=None, seed=0, mesh=make_mesh(1))
+    runner_b = ViewParallelRunner(driver.generate_sample_list(root_b),
+                                  cache=None, seed=0, mesh=make_mesh(3))
+    for spec in schedule:
+        runner_a.run_pass(spec)
+        runner_b.run_pass(spec)
+
+    for v in range(3):
+        da, na, wa = _read_outputs(root_a, v)
+        db, nb, wb = _read_outputs(root_b, v)
+        np.testing.assert_array_equal(da, db, err_msg=f"depth view {v}")
+        np.testing.assert_array_equal(na, nb, err_msg=f"normal view {v}")
+        np.testing.assert_array_equal(wa, wb, err_msg=f"weak view {v}")
+
+
+@pytest.mark.slow
+def test_parallel_scan_quality(tmp_path):
+    """run_scan with views_parallel=True reconstructs the synthetic scene
+    through the full schedule + fusion."""
+    from apde_mvs_tpu.io.ply import read_ply
+
+    scene, root = _make_scan(tmp_path, "quality")
+    driver.run_scan(root, dataset="General", use_sa=False, weak_filter=True,
+                    export_color=True, seed=0, pyramid_base=32,
+                    views_parallel=True)
+    for v in range(3):
+        depth = binmat.read_bin_mat(root / "APD" / f"{v:08d}" / "depths.bin")
+        gt = scene.depths[v]
+        ok = (depth > 0) & (gt > 0)
+        rel = np.abs(depth - gt)[ok] / gt[ok]
+        assert np.median(rel) < 0.01, f"view {v}: {np.median(rel)}"
+    pts, cols = read_ply(root / "APD" / "APD.ply")
+    assert len(pts) > 1000
+    assert cols is not None

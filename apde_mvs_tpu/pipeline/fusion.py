@@ -195,8 +195,15 @@ def run_fusion(dense_folder, problems, name: str, params: FusionParams,
     ref_indices = list(range(len(problems)))
     if shard is not None:
         ref_indices = [i for i in ref_indices if i % shard[1] == shard[0]]
+    consumption = None
     if params.variant == "general":
-        coords, colors = _fuse_general(views, problems, params, ref_indices)
+        if shard is not None:
+            coords, colors, consumption = _fuse_general(
+                views, problems, params, ref_indices,
+                record_consumption=True)
+        else:
+            coords, colors = _fuse_general(views, problems, params,
+                                           ref_indices)
     else:
         coords, colors = _fuse_tat(views, problems, params,
                                    advanced=(params.variant == "tat_a"),
@@ -207,26 +214,86 @@ def run_fusion(dense_folder, problems, name: str, params: FusionParams,
             f"{name}.part{shard[0]}of{shard[1]}")
     export_point_cloud(ply_path, coords,
                        colors if export_color else None)
+    if consumption is not None:
+        h, w = views[0].depth.shape
+        np.savez(str(ply_path) + ".consume.npz", hw=np.int64(h * w),
+                 **consumption)
     print(f"Fusion: {len(coords)} points -> {ply_path}", flush=True)
     return ply_path
 
 
+def owner_wins_filter(origin, cons_pt, cons_gid, hw):
+    """Cross-shard consumption at merge time: a point whose origin ref pixel
+    was consumed by a kept point of an EARLIER ref view is dropped — the
+    exact reason the reference's serial scan would have skipped that pixel
+    (APD.cpp:1149). Iterates to a fixpoint so dropped points stop consuming.
+
+    origin: (N,) global ref-pixel ids (view * hw + pixel); cons_pt: (K,)
+    point ranks; cons_gid: (K,) consumed pixel ids. Returns a (N,) keep mask.
+    """
+    n = len(origin)
+    origin_view = (origin // hw).astype(np.int64)
+    # compact the gid universe so the scatter table stays small
+    all_gids = np.concatenate([origin, cons_gid])
+    uniq, inv = np.unique(all_gids, return_inverse=True)
+    origin_c = inv[:n]
+    cons_c = inv[n:]
+    entry_view = origin_view[cons_pt]
+    kept = np.ones(n, bool)
+    big = np.int64(1 << 60)
+    for _ in range(8):
+        min_view = np.full(len(uniq), big, np.int64)
+        valid = kept[cons_pt]
+        np.minimum.at(min_view, cons_c[valid], entry_view[valid])
+        new_kept = min_view[origin_c] >= origin_view
+        if np.array_equal(new_kept, kept):
+            break
+        kept = new_kept
+    return kept
+
+
 def merge_fusion_shards(dense_folder, name: str, num_shards: int,
                         export_color: bool = True) -> Path:
-    """Concatenate partial PLYs written by sharded fusion runs."""
+    """Merge partial PLYs written by sharded fusion runs.
+
+    When consumption sidecars are present (general variant), applies the
+    owner-wins filter so the merged cloud reproduces the reference's
+    cross-view source-pixel consumption instead of concatenating the
+    shards' duplicated points."""
     import numpy as np
 
     from ..io.ply import read_ply
 
-    coords, colors = [], []
+    coords, colors, sides = [], [], []
     for i in range(num_shards):
         part = Path(dense_folder) / "APD" / f"{name}.part{i}of{num_shards}"
         c, col = read_ply(part)
         coords.append(c)
         if col is not None:
             colors.append(col)
+        side = Path(str(part) + ".consume.npz")
+        sides.append(np.load(side) if side.exists() else None)
     coords = np.concatenate(coords)
     colors = np.concatenate(colors) if colors else None
+
+    if all(s is not None for s in sides) and len(coords):
+        origin, cons_pt, cons_gid = [], [], []
+        offset = 0
+        for i, s in enumerate(sides):
+            origin.append(s["origin"])
+            cons_pt.append(s["cons_pt"] + offset)
+            cons_gid.append(s["cons_gid"])
+            offset += len(s["origin"])
+        kept = owner_wins_filter(
+            np.concatenate(origin), np.concatenate(cons_pt),
+            np.concatenate(cons_gid), int(sides[0]["hw"]))
+        dropped = int((~kept).sum())
+        coords = coords[kept]
+        if colors is not None:
+            colors = colors[kept]
+        print(f"Owner-wins consumption merge: dropped {dropped} "
+              f"cross-shard duplicate points", flush=True)
+
     ply_path = Path(dense_folder) / "APD" / name
     export_point_cloud(ply_path, coords,
                        colors if export_color and colors is not None else None)
@@ -244,9 +311,16 @@ def _concat_points(all_pts, all_cols):
     return np.concatenate(all_pts), np.concatenate(all_cols)
 
 
-def _fuse_general(views, problems, params: FusionParams, ref_indices=None):
-    """Dynamic-consistency fusion (reference: RunFusion, APD.cpp:1051-1227)."""
+def _fuse_general(views, problems, params: FusionParams, ref_indices=None,
+                  record_consumption=False):
+    """Dynamic-consistency fusion (reference: RunFusion, APD.cpp:1051-1227).
+
+    With ``record_consumption``, also returns per-point provenance (the
+    origin ref pixel and every consumed source pixel, as global
+    ``view_index * H * W + row * W + col`` ids) so sharded runs can apply
+    the reference's cross-view consumption at merge time (owner-wins)."""
     all_pts, all_cols = [], []
+    origins, consumed_flat, consumed_count = [], [], []
     id_to_index = {p.ref_image_id: i for i, p in enumerate(problems)}
     if ref_indices is None:
         ref_indices = range(len(problems))
@@ -268,19 +342,39 @@ def _fuse_general(views, problems, params: FusionParams, ref_indices=None):
             num_consistent += ok.astype(np.int32)
             dyn += np.where(ok, np.exp(-(reproj + 200.0 * rel_d + 10.0 * ang)),
                             0.0)
-            used.append((sv, ok, src, scc))
+            used.append((id_to_index[sid], sv, ok, src, scc))
         factor = np.where(rv.weak == WEAK, params.dyn_factor_weak,
                           params.dyn_factor_strong)
         accept = base & (num_consistent >= 1) & (dyn > factor * num_consistent)
         color = rv.image.astype(np.float64).copy()
-        for sv, ok, src, scc in used:
+        acc_order = np.full((h, w), -1, np.int64)
+        n_before = sum(len(a) for a in all_pts)
+        if record_consumption:
+            acc_order[accept] = n_before + np.arange(int(accept.sum()))
+        for si, sv, ok, src, scc in used:
             take = accept & ok
             color[take] += sv.image[src[take], scc[take]]
             sv.mask[src[take], scc[take]] = True
+            if record_consumption:
+                consumed_count.append(acc_order[take])          # point ranks
+                consumed_flat.append(si * h * w + src[take] * w + scc[take])
         color[accept] /= (num_consistent[accept] + 1)[:, None]
         all_pts.append(Xw[accept].astype(np.float32))
         all_cols.append(np.clip(color[accept], 0, 255).astype(np.uint8))
-    return _concat_points(all_pts, all_cols)
+        if record_consumption:
+            yy, xx = np.nonzero(accept)
+            origins.append(ri * h * w + yy * w + xx)
+    pts, cols = _concat_points(all_pts, all_cols)
+    if not record_consumption:
+        return pts, cols
+    def cat(parts, dtype):
+        return (np.concatenate(parts) if parts
+                else np.zeros((0,), dtype)).astype(dtype)
+    return pts, cols, {
+        "origin": cat(origins, np.int64),        # (N,) global ref-pixel id
+        "cons_pt": cat(consumed_count, np.int64),  # (K,) point rank
+        "cons_gid": cat(consumed_flat, np.int64),  # (K,) consumed pixel id
+    }
 
 
 def _fuse_tat(views, problems, params: FusionParams, advanced: bool,

@@ -101,5 +101,6 @@ def test_sharded_fusion_merge(scene_on_disk):
     ply = fusion.run_fusion(root, problems, "unsharded.ply", params,
                             export_color=True)
     base, _ = read_ply(ply)
-    assert len(pts) >= len(base)          # shards dedup less across shards
-    assert len(pts) < len(base) * 2.5     # but not unboundedly more
+    # the owner-wins merge restores cross-shard consumption, so the merged
+    # cloud sits near the unsharded count instead of duplicating points
+    assert abs(len(pts) - len(base)) < 0.05 * len(base)

@@ -140,6 +140,7 @@ def _direction_table(rotate_time: int) -> np.ndarray:
 class AnchorResult(NamedTuple):
     anchors: jnp.ndarray    # (Nw, ANCHOR_NUM, 2) int32; [:, 0] = self
     reliable: jnp.ndarray   # (Nw,) bool
+    hit_count: jnp.ndarray  # (Nw,) int32 directions with an accepted probe
 
 
 def _point_in_triangle(ax, ay, bx, by, cx, cy, px, py):
@@ -327,7 +328,8 @@ def gen_anchors(key, data, state: PMState, weak_x, weak_y, weak_valid,
     anchors = jnp.concatenate([self_anchor, rest], axis=1).astype(jnp.int32)
     anchors = jnp.where(reliable[:, None, None], anchors,
                         anchors.at[:, 1:].set(-1))
-    return AnchorResult(anchors=anchors, reliable=reliable)
+    return AnchorResult(anchors=anchors, reliable=reliable,
+                        hit_count=count.astype(jnp.int32))
 
 
 def neighbor_update(state: PMState, weak_x, weak_y, weak_valid,

@@ -139,3 +139,112 @@ def test_neighbor_update_demotes():
     assert wm[1, 1] == WEAK
     assert wm[2, 2] == UNKNOWN
     assert wm[3, 3] == WEAK
+
+
+def _full_radius_schedule():
+    """The reference's complete r <- min(2r, r+25) expansion (APD.cu:1915)."""
+    from apde_mvs_tpu.config import MAX_SEARCH_RADIUS
+    full = []
+    r = 2
+    while r <= MAX_SEARCH_RADIUS:
+        full.append(r)
+        r = min(2 * r, r + 25)
+    return np.asarray(full)
+
+
+def _oracle_hits(weak_map, ns, x0, y0, rotate_time, rng, jitter_samples=4):
+    """Brute-force numpy oracle of the reference's directional anchor search
+    (APD.cu:1904-1963): full radius schedule, jittered probes snapped through
+    the nearest-strong map, first in-cone hit per direction wins."""
+    import math as m
+    h, w = weak_map.shape
+    min_margin = 6
+    radii = _full_radius_schedule()
+    angle = 45.0 / rotate_time
+    thresh = m.cos(m.radians(angle / 2.0))
+    shift_range = max(int(m.tan(m.radians(angle / 2.0)) * 20), 1)
+    hits = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if ox == 0 and oy == 0:
+                continue
+            d = np.array([ox, oy], float)
+            d /= np.linalg.norm(d)
+            for k in range(rotate_time):
+                a = m.radians(angle * k)
+                rot = np.array([[m.cos(a), -m.sin(a)], [m.sin(a), m.cos(a)]])
+                dd = rot @ d
+                found = None
+                for r in radii:
+                    tx, ty = x0 + dd[0] * r, y0 + dd[1] * r
+                    if tx < 0 or ty < 0 or tx >= w or ty >= h:
+                        break
+                    for _ in range(jitter_samples):
+                        sx = rng.integers(-shift_range + 1, shift_range)
+                        sy = rng.integers(-shift_range + 1, shift_range)
+                        pd = np.array([dd[0] * 20 + sx, dd[1] * 20 + sy])
+                        pd /= np.linalg.norm(pd)
+                        px, py = int(x0 + pd[0] * r), int(y0 + pd[1] * r)
+                        if px < min_margin or py < min_margin \
+                                or px >= w - min_margin or py >= h - min_margin:
+                            continue
+                        ax, ay = ns[py, px]
+                        if ax < 0:
+                            continue
+                        v = np.array([ax - x0, ay - y0], float)
+                        n = np.linalg.norm(v)
+                        if n < 1e-9:
+                            continue
+                        if float(v @ dd) / n > thresh:
+                            found = (ax, ay)
+                            break
+                    if found:
+                        break
+                hits.append(found)
+    return hits
+
+
+def test_gen_anchors_far_field_parity_with_oracle():
+    """A weak pixel >500 px from all strong support: the subsampled radius
+    schedule must hit (about) the directions the reference's full ~167-step
+    expansion hits, and still produce a reliable anchor set (VERDICT round-1
+    item 9). Support surrounds the pixel as a 40-px frame so the RANSAC
+    triangle-containment rule (APD.cu:2001, same here) can be satisfied."""
+    h, w = 1104, 1104
+    cam, state = _flat_scene_state(h, w)
+
+    class Data:
+        ref_cam = cam
+
+    band = 40
+    weak_map = np.full((h, w), UNKNOWN, np.int32)
+    weak_map[:, :band] = STRONG
+    weak_map[:, -band:] = STRONG
+    weak_map[:band, :] = STRONG
+    weak_map[-band:, :] = STRONG
+    x0, y0 = 552, 552                    # >=512 px from every band
+    weak_map[y0, x0] = WEAK
+    state = state.replace(weak=jnp.asarray(weak_map))
+
+    ns = np.asarray(anchor_ops.nearest_strong_jfa(
+        state.weak, state.confidence, state.valid))
+    rng = np.random.default_rng(0)
+    oracle = _oracle_hits(weak_map, ns, x0, y0, rotate_time=4, rng=rng)
+    oracle_found = sum(1 for o in oracle if o is not None)
+    assert oracle_found >= 16, f"oracle found only {oracle_found}/32"
+
+    res = anchor_ops.gen_anchors(
+        jax.random.PRNGKey(0), Data, state,
+        jnp.asarray([x0], jnp.int32), jnp.asarray([y0], jnp.int32),
+        jnp.ones((1,), bool), rotate_time=4, ransac_threshold=0.01,
+        depth_min=2.0, depth_max=6.0, nearest_strong=jnp.asarray(ns))
+    hits = int(res.hit_count[0])
+    assert hits >= oracle_found * 0.75, \
+        f"far-field direction hits {hits} vs oracle {oracle_found}"
+    assert bool(res.reliable[0]), "far-field weak pixel should be reliable"
+    anchors = np.asarray(res.anchors)[0, 1:]
+    found = anchors[:, 0] >= 0
+    assert found.sum() == 8, "full anchor set expected on the flat scene"
+    sx, sy = anchors[found, 0], anchors[found, 1]
+    on_bands = (sx < band) | (sx >= w - band) | (sy < band) | (sy >= h - band)
+    assert on_bands.all(), "anchors must land in the strong frame"

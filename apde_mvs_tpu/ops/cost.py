@@ -73,6 +73,10 @@ class CostData:
     # the reference's COST_MAX
     real_width: int = struct.field(pytree_node=False, default=0)
     real_height: int = struct.field(pytree_node=False, default=0)
+    # source-array row count when it differs from `height` (the halo tile
+    # sweep hands each shard a row-windowed REF image while source images
+    # stay full-frame; quad indexing/clamping must use the source height)
+    src_height: int = struct.field(pytree_node=False, default=0)
 
     @property
     def img_w(self):
@@ -81,6 +85,10 @@ class CostData:
     @property
     def img_h(self):
         return self.real_height or self.height
+
+    @property
+    def src_h(self):
+        return self.src_height or self.height
 
     @classmethod
     def build(cls, ref_cam, src_cams, ref_image, src_images, sa_mask=None,
@@ -229,7 +237,7 @@ def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow):
     tx = x[..., None] + win.tap_dx                       # (B, T)
     ty = y[..., None] + win.tap_dy
     wx, wy = geo.warp(H[..., None, :, :], tx, ty)
-    sv = bilinear_sample_packed(quad, data.width, data.height, wx, wy)
+    sv = bilinear_sample_packed(quad, data.width, data.src_h, wx, wy)
     tw = win.tap_w
     s_src = (tw * sv).sum(-1)
     s_ss = (tw * sv * sv).sum(-1)
@@ -265,7 +273,7 @@ def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,
     sampled instead of sampling all views and masking.
     """
     B, K = sel_idx.shape
-    hw = data.height * data.width
+    hw = data.src_h * data.width
     src_cams = _gather_cams(data.src_cams, sel_idx)        # (B, K, ...)
     quads = data.src_quads.reshape(-1, 4)                  # (S*HW, 4)
 
@@ -278,7 +286,7 @@ def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,
         ty = y[..., None] + win.tap_dy
         wx, wy = geo.warp(H[..., None, :, :], tx, ty)
         wx = jnp.clip(wx, 0.0, data.width - 1.0)
-        wy = jnp.clip(wy, 0.0, data.height - 1.0)
+        wy = jnp.clip(wy, 0.0, data.src_h - 1.0)
         x0 = jnp.floor(wx)
         y0 = jnp.floor(wy)
         fx = wx - x0
@@ -306,14 +314,14 @@ def geom_selected(data: CostData, x, y, plane, sel_idx, sel_valid
     depth = geo.depth_from_plane(data.ref_cam, plane, x, y)
     Xw = geo.backproject_world(data.ref_cam, x, y, depth)
     src_cams = _gather_cams(data.src_cams, sel_idx)
-    hw = data.height * data.width
+    hw = data.src_h * data.width
     depths_flat = data.src_depths.reshape(-1)
 
     def slot(k, _):
         cam_k = geo.CameraArrays(*[a[:, k] for a in src_cams])
         sx, sy, _sd = geo.project(cam_k, Xw)
         xi = jnp.clip(sx.astype(jnp.int32), 0, data.width - 1)
-        yi = jnp.clip(sy.astype(jnp.int32), 0, data.height - 1)
+        yi = jnp.clip(sy.astype(jnp.int32), 0, data.src_h - 1)
         from ..core.sampling import take_rows
         src_depth = take_rows(depths_flat,
                               sel_idx[:, k] * hw + yi * data.width + xi)

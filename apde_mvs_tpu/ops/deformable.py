@@ -135,7 +135,7 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
     ctx = x[..., None] + win.tap_dx
     cty = y[..., None] + win.tap_dy
     cwx, cwy = geo.warp(H[..., None, :, :], ctx, cty)
-    csv = bilinear_sample_packed(quad, data.width, data.height, cwx, cwy)
+    csv = bilinear_sample_packed(quad, data.width, data.src_h, cwx, cwy)
     ctw = win.tap_w
     center_cost = cost_ops.ncc_from_sums(
         win.sum_ref, win.sum_rr, (ctw * csv).sum(-1),
@@ -150,7 +150,7 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
     tx = wref.anchor_x[..., None] + wk[None, None, :, 0]
     ty = wref.anchor_y[..., None] + wk[None, None, :, 1]
     wx, wy = geo.warp(H[..., None, None, :, :], tx, ty)
-    sv = bilinear_sample_packed(quad, data.width, data.height, wx, wy)
+    sv = bilinear_sample_packed(quad, data.width, data.src_h, wx, wy)
     tw = wref.tap_w
     s_src_a = (tw * sv).sum(-1)
     s_ss_a = (tw * sv * sv).sum(-1)

@@ -94,19 +94,26 @@ for _r, _offs in enumerate(_REGIONS):
     _REGION_OFFSETS[_r, :len(_offs)] = np.asarray(_offs)
 
 
-def checkerboard_candidates(costs: jnp.ndarray, x, y
+def checkerboard_candidates(costs: jnp.ndarray, x, y, row_bounds=None
                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Min-cost candidate position per region.
 
     costs: (H, W); x, y: (B,) int32. Returns (cand_x, cand_y (B, 8),
     flags (B, 8)). A region is valid iff its base offset is in-bounds; within
     a region the first position achieving the minimal cost wins (the
-    reference's strict `<` scan order)."""
+    reference's strict `<` scan order).
+
+    `row_bounds=(lo, hi)` restricts valid rows to [lo, hi] — used by the
+    halo-exchanged tile sweep, where the local array extends past the global
+    image rows and the out-of-image halo must invalidate regions exactly as
+    array bounds do in the unsharded sweep."""
     h, w = costs.shape
     offs = jnp.asarray(_REGION_OFFSETS)            # (8, M, 2)
     px = x[:, None, None] + offs[None, :, :, 0]     # (B, 8, M)
     py = y[:, None, None] + offs[None, :, :, 1]
     inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    if row_bounds is not None:
+        inb &= (py >= row_bounds[0]) & (py <= row_bounds[1])
     length_mask = (jnp.arange(_MAX_REGION)[None, None, :]
                    < jnp.asarray(_REGION_LEN)[None, :, None])
     usable = inb & length_mask
@@ -155,7 +162,7 @@ def refinement_hypotheses(key, cam: geo.CameraArrays, x, y, cur_plane,
 
 def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
                      iteration, key, color: int, depth_min, depth_max,
-                     geom_factor) -> PMState:
+                     geom_factor, row_bounds=None) -> PMState:
     h, w = state.costs.shape
     S = data.num_src
     xs2, ys2 = cb.color_coords(h, w, color)
@@ -170,7 +177,8 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
     valid_c = cb.gather_color(state.valid, color).reshape(-1)
     active = (weak_c != WEAK) & valid_c
 
-    cand_x, cand_y, flags = checkerboard_candidates(state.costs, x, y)
+    cand_x, cand_y, flags = checkerboard_candidates(state.costs, x, y,
+                                                    row_bounds)
     cand_planes = fetch(state.planes, cand_x, cand_y)          # (B, 8, 4)
     cur_plane = fetch(state.planes, x, y)
 

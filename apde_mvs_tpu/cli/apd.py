@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "true", "false"],
                    help="shard every view's pass over all local devices "
                         "(auto: on when >1 device is attached)")
+    p.add_argument("--view_batch", type=int, default=None,
+                   help="cap reference views per SPMD batch in the "
+                        "view-parallel engine (bounds the replicated image "
+                        "table for very large scans; default: whole scan)")
     p.add_argument("--fuse_shard", type=str, default=None,
                    help="distributed fusion: 'i,n' fuses ref views i mod n "
                         "into a partial PLY")
@@ -85,7 +89,8 @@ def main(argv=None) -> int:
         seed=args.seed, pyramid_base=args.pyramid_base,
         fuse_shard=fuse_shard,
         views_parallel={"auto": None, "true": True,
-                        "false": False}[args.views_parallel])
+                        "false": False}[args.views_parallel],
+        view_batch=args.view_batch)
     return 0
 
 

@@ -67,6 +67,10 @@ class ScenePassInputs(NamedTuple):
     weak_y: jnp.ndarray        # (Vp, cap) int32
     weak_valid: jnp.ndarray    # (Vp, cap) bool
     keys: jnp.ndarray          # (Vp, 2) uint32 per-view PRNG keys
+    # prior depths of reference views OUTSIDE this view batch (loaded from
+    # the file interchange; zeros when the whole scan runs as one batch).
+    # depth_slot addresses rows Vp+1+e of [gathered | zero-row | ext_depth].
+    ext_depth: jnp.ndarray     # (Ep, H, W) f32, replicated
 
 
 class ScenePassOutputs(NamedTuple):
@@ -98,9 +102,11 @@ def _pass_body(scene: ScenePassInputs, ransac_threshold, weak_peak_radius,
 
     if geom_or_apd:
         all_depths = jax.lax.all_gather(scene.prior_depth, axis, tiled=True)
-        # row Vp = missing-source depth (all zeros)
+        # row Vp = missing-source depth (all zeros); rows Vp+1.. = priors of
+        # reference views outside this view batch (file interchange)
         all_depths = jnp.concatenate(
-            [all_depths, jnp.zeros((1, h, w), jnp.float32)], axis=0)
+            [all_depths, jnp.zeros((1, h, w), jnp.float32),
+             scene.ext_depth], axis=0)
 
     def view_body(i, outs):
         g = my_shard * Vl + i
@@ -170,7 +176,8 @@ def build_sharded_full_pass(mesh: Mesh, cfg: PassStatic, S: int,
         pair=rep, ref_slot=rep, depth_slot=rep, dmin=rep, dmax=rep,
         valid=rep,
         prior_depth=shd, prior_normal=shd, prior_weak=shd, prior_conf=shd,
-        sa=shd, weak_x=shd, weak_y=shd, weak_valid=shd, keys=shd),
+        sa=shd, weak_x=shd, weak_y=shd, weak_valid=shd, keys=shd,
+        ext_depth=rep),
         rep, rep, rep)
     out_specs = ScenePassOutputs(depth=shd, normal=shd, weak=shd,
                                  confidence=shd, cost=shd)

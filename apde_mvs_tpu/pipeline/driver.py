@@ -319,7 +319,8 @@ def run_scan(dense_folder, dataset: str = "General", *,
              flush: bool = False, export_anchor: bool = False,
              export_curve: bool = False, export_color: bool = True,
              seed: int = 0, pyramid_base: int = PYRAMID_BASE_MAX_DIM,
-             fuse_shard=None, views_parallel: Optional[bool] = None) -> None:
+             fuse_shard=None, views_parallel: Optional[bool] = None,
+             view_batch: Optional[int] = None) -> None:
     """Full scan reconstruction (reference: main.cpp:210-411).
 
     ``views_parallel``: run every view's pass simultaneously with views
@@ -360,7 +361,8 @@ def run_scan(dense_folder, dataset: str = "General", *,
     runner = None
     if views_parallel:
         from .scan_parallel import ViewParallelRunner
-        runner = ViewParallelRunner(problems, cache, seed=seed)
+        runner = ViewParallelRunner(problems, cache, seed=seed,
+                                    view_batch=view_batch)
 
     t0 = time.time()
     for spec in schedule:

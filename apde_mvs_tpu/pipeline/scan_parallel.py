@@ -39,10 +39,18 @@ from .patchmatch import _bucket, pad_to_multiple
 
 
 class _RoundData:
-    """Per-pyramid-round scene tables (rebuilt when the scale changes)."""
+    """Per-pyramid-round scene tables for one view batch (rebuilt when the
+    scale changes).
+
+    With `scan_ref_ids` covering more reference views than `problems` (the
+    batched mode for scans whose image tables exceed device memory), the
+    image table only holds this batch's views, and source views whose
+    reference pass runs in ANOTHER batch read their prior depths from the
+    file interchange (ext rows) instead of the in-batch ICI all-gather.
+    """
 
     def __init__(self, problems: List[Problem], scale_size: int, cache,
-                 n_devices: int):
+                 n_devices: int, scan_ref_ids=None):
         import jax.numpy as jnp
         from ..parallel.scene import dummy_camera
 
@@ -54,6 +62,9 @@ class _RoundData:
                     ids.append(vid)
         slot = {vid: i for i, vid in enumerate(ids)}
         M = len(ids)
+        # pad the table to a bucketed size so view batches of one scan share
+        # a compiled program
+        Mp = -(-M // 8) * 8
 
         images = []
         cams = []
@@ -64,16 +75,22 @@ class _RoundData:
         self.h, self.w = img.shape
         self.ph, self.pw = images[0].shape
         dK, dR, dt, dc = dummy_camera(cams[0].K.astype(np.float32))
+        pad_n = Mp - M + 1          # table pad rows + the dummy slot Mp
         self.images = np.concatenate(
-            [np.stack(images), np.zeros((1, self.ph, self.pw), np.float32)])
+            [np.stack(images),
+             np.zeros((pad_n, self.ph, self.pw), np.float32)])
         self.cam_K = np.concatenate(
-            [np.stack([c.K for c in cams]).astype(np.float32), dK[None]])
+            [np.stack([c.K for c in cams]).astype(np.float32),
+             np.repeat(dK[None], pad_n, 0)])
         self.cam_R = np.concatenate(
-            [np.stack([c.R for c in cams]).astype(np.float32), dR[None]])
+            [np.stack([c.R for c in cams]).astype(np.float32),
+             np.repeat(dR[None], pad_n, 0)])
         self.cam_t = np.concatenate(
-            [np.stack([c.t for c in cams]).astype(np.float32), dt[None]])
+            [np.stack([c.t for c in cams]).astype(np.float32),
+             np.repeat(dt[None], pad_n, 0)])
         self.cam_c = np.concatenate(
-            [np.stack([c.c for c in cams]).astype(np.float32), dc[None]])
+            [np.stack([c.c for c in cams]).astype(np.float32),
+             np.repeat(dc[None], pad_n, 0)])
 
         V = len(problems)
         self.S = max(len(p.src_image_ids) for p in problems)
@@ -82,7 +99,7 @@ class _RoundData:
         self.n_mesh = n_mesh
         # padded problem slots repeat problem 0; outputs are discarded
         probs = list(problems) + [problems[0]] * (self.Vp - V)
-        self.pair = np.full((self.Vp, self.S), M, np.int32)
+        self.pair = np.full((self.Vp, self.S), Mp, np.int32)
         self.ref_slot = np.zeros((self.Vp,), np.int32)
         self.dmin = np.zeros((self.Vp,), np.float32)
         self.dmax = np.zeros((self.Vp,), np.float32)
@@ -93,13 +110,22 @@ class _RoundData:
             ref_cam = cams[slot[p.ref_image_id]]
             self.dmin[i] = ref_cam.depth_min * cfg.DEPTH_MIN_FACTOR
             self.dmax[i] = ref_cam.depth_max * cfg.DEPTH_MAX_FACTOR
-        # table slot -> row in the gathered (Vp real + 1 dummy) depth stack;
+        # table slot -> row in the depth stack [gathered Vp | zeros | ext]:
+        # in-batch reference views read the all-gathered current priors;
+        # other batches' reference views read file-interchange ext rows;
         # ids that are never reference views have no depth map -> dummy row
         ref_row = {p.ref_image_id: i for i, p in enumerate(problems)}
-        self.depth_slot = np.full((M + 1,), self.Vp, np.int32)
+        scan_refs = set(scan_ref_ids) if scan_ref_ids is not None \
+            else set(ref_row)
+        self.ext_ids: List[int] = []
+        self.depth_slot = np.full((Mp + 1,), self.Vp, np.int32)
         for vid, s in slot.items():
             if vid in ref_row:
                 self.depth_slot[s] = ref_row[vid]
+            elif vid in scan_refs:
+                self.depth_slot[s] = self.Vp + 1 + len(self.ext_ids)
+                self.ext_ids.append(vid)
+        self.Ep = (-(-len(self.ext_ids) // 4) * 4) if self.ext_ids else 0
         self.valid = np.zeros((self.ph, self.pw), bool)
         self.valid[:self.h, :self.w] = True
 
@@ -108,23 +134,41 @@ class ViewParallelRunner:
     """Runs each PassSpec for all views at once on the local device mesh."""
 
     def __init__(self, problems: List[Problem], cache: Optional[MemoryCache],
-                 seed: int = 0, mesh=None, anchor_radius_budget: int = 25):
+                 seed: int = 0, mesh=None, anchor_radius_budget: int = 25,
+                 view_batch: Optional[int] = None):
         self.problems = problems
         self.cache = cache
         self.seed = seed
         self.mesh = mesh
         self.radius_budget = anchor_radius_budget
-        self._round: Optional[_RoundData] = None
+        # view_batch caps how many reference views run in one SPMD program:
+        # the image table and depth stack scale with the batch, not the
+        # scan, so arbitrarily large scans (TaT ~150+ views) fit device
+        # memory. None = whole scan in one batch.
+        self.view_batch = view_batch
+        self._rounds: Dict[tuple, _RoundData] = {}
 
-    def _round_data(self, spec: cfg.PassSpec) -> _RoundData:
+    def _batches(self) -> List[List[Problem]]:
+        vb = self.view_batch
+        if not vb or vb >= len(self.problems):
+            return [self.problems]
+        return [self.problems[i:i + vb]
+                for i in range(0, len(self.problems), vb)]
+
+    def _round_data(self, spec: cfg.PassSpec, batch: List[Problem],
+                    batch_idx: int) -> _RoundData:
         import jax
 
         n_dev = len(jax.devices()) if self.mesh is None \
             else self.mesh.devices.size
-        if self._round is None or self._round.scale_size != spec.scale_size:
-            self._round = _RoundData(self.problems, spec.scale_size,
-                                     self.cache, n_dev)
-        return self._round
+        key = (spec.scale_size, batch_idx)
+        if key not in self._rounds:
+            self._rounds = {k: v for k, v in self._rounds.items()
+                            if k[0] == spec.scale_size}
+            self._rounds[key] = _RoundData(
+                batch, spec.scale_size, self.cache, n_dev,
+                scan_ref_ids=[p.ref_image_id for p in self.problems])
+        return self._rounds[key]
 
     def _load_prior(self, problem: Problem, name: str, rd: _RoundData,
                     dtype=np.float32, channels: int = 0) -> np.ndarray:
@@ -135,6 +179,11 @@ class ViewParallelRunner:
                                mode="constant")
 
     def run_pass(self, spec: cfg.PassSpec) -> None:
+        for bi, batch in enumerate(self._batches()):
+            self._run_pass_batch(spec, batch, bi)
+
+    def _run_pass_batch(self, spec: cfg.PassSpec, problems: List[Problem],
+                        batch_idx: int) -> None:
         import jax
         import jax.numpy as jnp
         from ..parallel.mesh import make_mesh
@@ -145,8 +194,8 @@ class ViewParallelRunner:
         geom_or_apd = params.geom_consistency or params.use_apd
         use_apd = params.use_apd and params.state != "first_init"
         first_init = params.state == "first_init"
-        rd = self._round_data(spec)
-        V = len(self.problems)
+        rd = self._round_data(spec, problems, batch_idx)
+        V = len(problems)
         Vp, ph, pw = rd.Vp, rd.ph, rd.pw
 
         prior_depth = np.zeros((Vp, ph, pw), np.float32)
@@ -154,7 +203,7 @@ class ViewParallelRunner:
         prior_weak = np.full((Vp, ph, pw), UNKNOWN, np.int32)
         prior_conf = np.ones((Vp, ph, pw), np.float32)
         sa = np.zeros((Vp, ph, pw), np.int32)
-        probs = list(self.problems) + [self.problems[0]] * (Vp - V)
+        probs = list(problems) + [problems[0]] * (Vp - V)
         for i, p in enumerate(probs):
             if not first_init:
                 prior_depth[i] = self._load_prior(p, "depths.bin", rd)
@@ -200,6 +249,13 @@ class ViewParallelRunner:
                 self.seed * 1000003 + p.ref_image_id * 131 + spec.iteration))
             for p in probs]).astype(np.uint32)
 
+        # prior depths of out-of-batch reference views (file interchange)
+        ext_depth = np.zeros((rd.Ep, ph, pw), np.float32)
+        if geom_or_apd and rd.ext_ids:
+            by_ref = {p.ref_image_id: p for p in self.problems}
+            for e, vid in enumerate(rd.ext_ids):
+                ext_depth[e] = self._load_prior(by_ref[vid], "depths.bin", rd)
+
         pass_cfg = PassStatic.from_params(
             params, nw_cap=cap if use_apd else 0,
             radius_budget=self.radius_budget)
@@ -215,7 +271,8 @@ class ViewParallelRunner:
             dmin=rd.dmin, dmax=rd.dmax, valid=rd.valid,
             prior_depth=prior_depth, prior_normal=prior_normal,
             prior_weak=prior_weak, prior_conf=prior_conf, sa=sa,
-            weak_x=weak_x, weak_y=weak_y, weak_valid=weak_valid, keys=keys)
+            weak_x=weak_x, weak_y=weak_y, weak_valid=weak_valid, keys=keys,
+            ext_depth=ext_depth)
         outs = step(scene, jnp.float32(params.ransac_threshold),
                     jnp.int32(params.weak_peak_radius),
                     jnp.float32(params.geom_factor))
@@ -225,7 +282,7 @@ class ViewParallelRunner:
         conf = np.asarray(outs.confidence)
         pm_ms = (time.time() - t0) * 1000
 
-        for i, p in enumerate(self.problems):
+        for i, p in enumerate(problems):
             persist_view_results(
                 p, spec, depth[i, :rd.h, :rd.w], normal[i, :rd.h, :rd.w],
                 weak[i, :rd.h, :rd.w],

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ETH3D_test", action="store_true", default=False)
     p.add_argument("--TaT_intermediate", action="store_true", default=False)
     p.add_argument("--TaT_advanced", action="store_true", default=False)
+    p.add_argument("--view_batch", type=int, default=None,
+                   help="forwarded to the engine: cap reference views per "
+                        "view-parallel SPMD batch (large-scan memory bound)")
     p.add_argument("--export_anchor", action="store_true", default=False)
     p.add_argument("--export_curve", action="store_true", default=False)
     p.add_argument("--image_dir_name", type=str, nargs="+",
@@ -149,6 +152,8 @@ def worker(args, scan: str) -> None:
             f"--use_impetus {str(not args.no_impetus).lower()} "
             f"--weak_filter {str(not args.no_weak_filter).lower()}"
         )
+        if args.view_batch:
+            cmd += f" --view_batch {args.view_batch}"
         log_path = os.path.join(apd_path, "log.txt")
         ply_path = os.path.join(apd_path, "APD.ply")
         if args.resume and os.path.exists(ply_path):

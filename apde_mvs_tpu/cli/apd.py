@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "true", "false"],
                    help="shard every view's pass over all local devices "
                         "(auto: on when >1 device is attached)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a JAX profiler trace of the scan into this "
+                        "directory (TensorBoard/Perfetto)")
     p.add_argument("--view_batch", type=int, default=None,
                    help="cap reference views per SPMD batch in the "
                         "view-parallel engine (bounds the replicated image "
@@ -79,18 +82,24 @@ def main(argv=None) -> int:
         i, n = (int(v) for v in args.fuse_shard.split(","))
         fuse_shard = (i, n)
 
-    run_scan(
-        args.dense_folder, dataset=args.dataset,
-        only_fuse=only_fuse, no_fuse=args.no_fuse,
-        use_memory_cache=use_memory_cache, use_sa=args.use_sa,
-        use_impetus=args.use_impetus, weak_filter=args.weak_filter,
-        flush=flush, export_anchor=args.export_anchor,
-        export_curve=args.export_curve, export_color=args.export_color,
-        seed=args.seed, pyramid_base=args.pyramid_base,
-        fuse_shard=fuse_shard,
-        views_parallel={"auto": None, "true": True,
-                        "false": False}[args.views_parallel],
-        view_batch=args.view_batch)
+    import contextlib
+    prof = contextlib.nullcontext()
+    if args.profile_dir:
+        from ..core.platform import profile_trace
+        prof = profile_trace(args.profile_dir)
+    with prof:
+        run_scan(
+            args.dense_folder, dataset=args.dataset,
+            only_fuse=only_fuse, no_fuse=args.no_fuse,
+            use_memory_cache=use_memory_cache, use_sa=args.use_sa,
+            use_impetus=args.use_impetus, weak_filter=args.weak_filter,
+            flush=flush, export_anchor=args.export_anchor,
+            export_curve=args.export_curve, export_color=args.export_color,
+            seed=args.seed, pyramid_base=args.pyramid_base,
+            fuse_shard=fuse_shard,
+            views_parallel={"auto": None, "true": True,
+                            "false": False}[args.views_parallel],
+            view_batch=args.view_batch)
     return 0
 
 

@@ -35,3 +35,25 @@ def bind_device(index: int) -> None:
 
     devices = jax.local_devices()
     jax.config.update("jax_default_device", devices[index % len(devices)])
+
+
+def profile_trace(out_dir):
+    """Context manager: capture a JAX/XLA profiler trace (TensorBoard +
+    Perfetto format) for the enclosed work. TPU-native replacement for the
+    reference's wall-clock-only tracing (SURVEY §5.1; main.cpp:151-161) —
+    per-op device timelines instead of per-view totals. View with
+    `tensorboard --logdir <out_dir>` or ui.perfetto.dev.
+    """
+    import contextlib
+
+    import jax
+
+    @contextlib.contextmanager
+    def _cm():
+        os.makedirs(os.path.expanduser(out_dir), exist_ok=True)
+        jax.profiler.start_trace(os.path.expanduser(out_dir))
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+    return _cm()

@@ -51,7 +51,6 @@ class _RoundData:
 
     def __init__(self, problems: List[Problem], scale_size: int, cache,
                  n_devices: int, scan_ref_ids=None):
-        import jax.numpy as jnp
         from ..parallel.scene import dummy_camera
 
         self.scale_size = scale_size

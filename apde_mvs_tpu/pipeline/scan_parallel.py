@@ -203,7 +203,9 @@ class ViewParallelRunner:
         prior_conf = np.ones((Vp, ph, pw), np.float32)
         sa = np.zeros((Vp, ph, pw), np.int32)
         probs = list(problems) + [problems[0]] * (Vp - V)
-        for i, p in enumerate(probs):
+
+        def load_view_priors(i):
+            p = probs[i]
             if not first_init:
                 prior_depth[i] = self._load_prior(p, "depths.bin", rd)
                 prior_normal[i] = self._load_prior(p, "normals.bin", rd)
@@ -221,6 +223,12 @@ class ViewParallelRunner:
                             mat = resize_nearest(mat, (rd.h, rd.w))
                         sa[i] = pad_to_multiple(mat.astype(np.int32), PAD_H,
                                                 PAD_W, mode="constant")
+
+        # host-side map loads dominate pass turnaround on large scans; the
+        # loads are per-view independent (cache dict ops are GIL-atomic)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(load_view_priors, range(Vp)))
 
         # ---- per-view weak compaction to a shared bucketed capacity -------
         cap = 0

@@ -24,6 +24,7 @@ bitwise identical to the serial engine (pinned by tests/test_full_pass.py).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -147,8 +148,28 @@ class ViewParallelRunner:
         self.view_batch = view_batch
         self._rounds: Dict[tuple, _RoundData] = {}
 
+    def _auto_view_batch(self) -> int:
+        """Largest batch whose device-resident state fits the HBM budget.
+
+        Per-view full-res cost ~= 64 bytes/px (prior+output map stacks plus
+        the all-gathered depth stack every device materializes) plus ~5
+        bytes/px of image-table share; budgeted against half of a 16 GB v5e
+        HBM so compute workspace and padding have headroom. Small scans
+        resolve to 'whole scan'; TaT-scale scans self-cap."""
+        import math
+
+        p0 = self.problems[0]
+        img, _ = _load_scaled_view(p0, p0.ref_image_id, 1, self.cache)
+        px = img.shape[0] * img.shape[1]
+        budget = 8 << 30
+        per_view = 70 * px
+        n = max(1, min(len(self.problems), budget // per_view))
+        return int(n)
+
     def _batches(self) -> List[List[Problem]]:
         vb = self.view_batch
+        if vb is None:
+            vb = self.view_batch = self._auto_view_batch()
         if not vb or vb >= len(self.problems):
             return [self.problems]
         return [self.problems[i:i + vb]
@@ -226,7 +247,6 @@ class ViewParallelRunner:
 
         # host-side map loads dominate pass turnaround on large scans; the
         # loads are per-view independent (cache dict ops are GIL-atomic)
-        from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(load_view_priors, range(Vp)))
 
@@ -289,7 +309,8 @@ class ViewParallelRunner:
         conf = np.asarray(outs.confidence)
         pm_ms = (time.time() - t0) * 1000
 
-        for i, p in enumerate(problems):
+        def persist_one(i):
+            p = problems[i]
             persist_view_results(
                 p, spec, depth[i, :rd.h, :rd.w], normal[i, :rd.h, :rd.w],
                 weak[i, :rd.h, :rd.w],
@@ -297,6 +318,9 @@ class ViewParallelRunner:
                 float(rd.dmin[i]), float(rd.dmax[i]), geom_or_apd,
                 self.cache, show_medium_result=spec.show_medium_result)
             p.used_time_ms += pm_ms / V
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(persist_one, range(V)))
         print(f"Processed {V} views iter {spec.iteration} on "
               f"{mesh.devices.size} device(s): {pm_ms:.0f} ms "
               f"({pm_ms / V:.0f} ms/view)", flush=True)

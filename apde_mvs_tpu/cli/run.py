@@ -154,6 +154,11 @@ def worker(args, scan: str) -> None:
         )
         if args.view_batch:
             cmd += f" --view_batch {args.view_batch}"
+        if args.device_num * args.work_num > 1:
+            # slot mode: each engine process owns one device slot; the
+            # engine's view-parallel auto-enable (which meshes ALL local
+            # devices) would oversubscribe the chips across slots
+            cmd += " --views_parallel false"
         log_path = os.path.join(apd_path, "log.txt")
         ply_path = os.path.join(apd_path, "APD.ply")
         if args.resume and os.path.exists(ply_path):

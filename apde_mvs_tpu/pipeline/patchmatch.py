@@ -295,14 +295,29 @@ def run_patchmatch(
                 data, state, weak_x, weak_y, weak_valid, k_anchor,
                 jnp.float32(params.ransac_threshold), dmin, dmax)
 
+    # optional per-stage wall-clock (APDE_STAGE_TIMING=1): forces a device
+    # sync per stage, so only enable when measuring
+    import os as _os
+    import time as _time
+    _timing = _os.environ.get("APDE_STAGE_TIMING") == "1"
+    _marks = [("start", _time.time())]
+
+    def _mark(name, *sync):
+        if _timing:
+            for a in sync:
+                jax.block_until_ready(a)
+            _marks.append((name, _time.time()))
+
     # ---- init + iterations ------------------------------------------------
     key, k_init, k_iter = jax.random.split(key, 3)
     nw_cap = int(weak_x.shape[0]) if nw > 0 else 0
+    _mark("apd_setup", state.weak)
     state = _jit_init(shape, S, cfg, nw_cap, first_init)(
         data, state, k_init, dmin, dmax, weak_x, weak_y, weak_valid, anchors)
     state = _jit_iterations(shape, S, cfg, nw_cap)(
         data, state, k_iter, weak_x, weak_y, weak_valid, anchors,
         dmin, dmax, gf)
+    _mark("init+sweeps", state.costs)
 
     # ---- reliability classification (compacted + chunked) -----------------
     # Pixels the sweep would classify UNKNOWN without sampling anything
@@ -357,10 +372,12 @@ def run_patchmatch(
             reliable_curve[cls_y, cls_x] = np.concatenate(
                 [np.asarray(o[1]) for o in outs])[:len(cls_x)]
     state = state.replace(weak=jnp.asarray(weak_map, jnp.int32))
+    _mark("classify", state.weak)
 
     # ---- confidence + local refine ----------------------------------------
     if params.geom_consistency or use_apd:
         state = _jit_confidence(shape, S)(data, state)
+    _mark("confidence", state.confidence)
     refine = _jit_local_refine(shape, S, cfg, chunk, sweep_k)
     (ref_y, ref_x), outs = _chunked(
         lambda cx, cy: refine(data, state, cx, cy, gf, dmin, dmax), sweepable)
@@ -370,6 +387,11 @@ def run_patchmatch(
             [np.asarray(o) for o in outs])[:len(ref_x)]
     state = state.replace(
         planes=state.planes.at[..., 3].set(jnp.asarray(depth_map)))
+    _mark("local_refine", state.planes)
+    if _timing:
+        spans = [f"{n} {(_marks[i + 1][1] - _marks[i][1]) * 1000:.0f}ms"
+                 for i, (n, _) in enumerate(_marks[1:])]
+        print("  stage timing: " + ", ".join(spans), flush=True)
 
     nearest_strong_np = fit_normal_np = None
     if export_debug and use_apd and nw > 0:

@@ -49,11 +49,12 @@ def profile_trace(out_dir):
     import jax
 
     @contextlib.contextmanager
-    def _cm():
-        os.makedirs(os.path.expanduser(out_dir), exist_ok=True)
-        jax.profiler.start_trace(os.path.expanduser(out_dir))
+    def _trace():
+        path = os.path.expanduser(out_dir)
+        os.makedirs(path, exist_ok=True)
+        jax.profiler.start_trace(path)
         try:
             yield
         finally:
             jax.profiler.stop_trace()
-    return _cm()
+    return _trace()

@@ -52,7 +52,9 @@ def normalize_image_dir(scan_dir,
     if not link:
         raise FileNotFoundError(
             f"{canonical} missing and symlink creation disabled")
-    canonical.symlink_to(source)
+    # the OS resolves a relative symlink target against the link's own
+    # directory, so a relative scan_dir would produce a dangling link
+    canonical.symlink_to(Path(source).resolve())
     return canonical
 
 

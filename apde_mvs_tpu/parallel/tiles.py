@@ -179,6 +179,16 @@ def build_halo_tile_sweep(mesh: Mesh, cfg: PropCfg, axis: str = "tiles",
         out_specs=state_spec(shd), check_vma=False)
 
     def sweep(data, state, key, iteration, depth_min, depth_max, geom_factor):
+        rl = state.costs.shape[0] // n
+        if state.costs.shape[0] % n:
+            raise ValueError(
+                f"rows {state.costs.shape[0]} not divisible by {n} shards")
+        if rl % 2 or rl < halo:
+            # odd shard heights flip checkerboard parity mid-image and
+            # shards shorter than the halo under-fill the exchange — both
+            # corrupt silently, so reject here
+            raise ValueError(
+                f"shard height {rl} must be even and >= halo ({halo})")
         # edge-replicate the halo pad so window clamping at the global image
         # border matches the unsharded sweep's texture-clamp semantics; pin
         # the real image bounds explicitly, because the body overrides

@@ -241,7 +241,11 @@ def owner_wins_filter(origin, cons_pt, cons_gid, hw):
     entry_view = origin_view[cons_pt]
     kept = np.ones(n, bool)
     big = np.int64(1 << 60)
-    for _ in range(8):
+    # consumption chains are bounded by the number of distinct ref views, so
+    # iterate until the fixpoint with that bound (+1 slack to detect
+    # non-convergence, which cannot happen but is guarded anyway)
+    max_rounds = len(np.unique(origin_view)) + 1
+    for round_i in range(max_rounds):
         min_view = np.full(len(uniq), big, np.int64)
         valid = kept[cons_pt]
         np.minimum.at(min_view, cons_c[valid], entry_view[valid])
@@ -249,6 +253,9 @@ def owner_wins_filter(origin, cons_pt, cons_gid, hw):
         if np.array_equal(new_kept, kept):
             break
         kept = new_kept
+    else:
+        print("owner_wins_filter: no fixpoint after "
+              f"{max_rounds} rounds (keeping last mask)", flush=True)
     return kept
 
 
@@ -273,10 +280,17 @@ def merge_fusion_shards(dense_folder, name: str, num_shards: int,
             colors.append(col)
         side = Path(str(part) + ".consume.npz")
         sides.append(np.load(side) if side.exists() else None)
+    part_sizes = [len(c) for c in coords]
     coords = np.concatenate(coords)
     colors = np.concatenate(colors) if colors else None
 
-    if all(s is not None for s in sides) and len(coords):
+    sides_ok = all(s is not None for s in sides) and all(
+        len(s["origin"]) == m for s, m in zip(sides, part_sizes))
+    if any(s is not None for s in sides) and not sides_ok:
+        print("merge_fusion_shards: consumption sidecars are stale or "
+              "incomplete for the current part PLYs — merging without the "
+              "owner-wins filter", flush=True)
+    if sides_ok and len(coords):
         origin, cons_pt, cons_gid = [], [], []
         offset = 0
         for i, s in enumerate(sides):

@@ -156,8 +156,6 @@ class ViewParallelRunner:
         bytes/px of image-table share; budgeted against half of a 16 GB v5e
         HBM so compute workspace and padding have headroom. Small scans
         resolve to 'whole scan'; TaT-scale scans self-cap."""
-        import math
-
         p0 = self.problems[0]
         img, _ = _load_scaled_view(p0, p0.ref_image_id, 1, self.cache)
         px = img.shape[0] * img.shape[1]

@@ -150,7 +150,7 @@ def main():
             jax.block_until_ready(p2)
             t0 = time.perf_counter()
             out = fn(xf, yf, win, p2)
-            jax.block_until_ready(out)
+            _ = np.asarray(out)        # host readback forces completion
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
         rate = B * T * S * LOOPS / dt

@@ -104,3 +104,25 @@ def test_sharded_fusion_merge(scene_on_disk):
     # the owner-wins merge restores cross-shard consumption, so the merged
     # cloud sits near the unsharded count instead of duplicating points
     assert abs(len(pts) - len(base)) < 0.05 * len(base)
+
+
+def test_merge_skips_stale_consume_sidecars(scene_on_disk):
+    """Sidecars left over from an earlier run must not be applied to
+    regenerated part PLYs of different size (stale-state guard)."""
+    import numpy as np
+
+    root, scene = scene_on_disk
+    problems = _problems(root)
+    params = FusionParams(variant="general", weak_filter=False)
+    for i in range(2):
+        fusion.run_fusion(root, problems, "stale.ply", params,
+                          export_color=True, shard=(i, 2))
+    # corrupt one sidecar so its origin count mismatches the part PLY
+    side = root / "APD" / "stale.ply.part0of2.consume.npz"
+    s = dict(np.load(side))
+    s["origin"] = s["origin"][: max(1, len(s["origin"]) // 2)]
+    np.savez(side, **s)
+    fusion.merge_fusion_shards(root, "stale.ply", 2)   # must not raise
+    from apde_mvs_tpu.io.ply import read_ply
+    pts, _ = read_ply(root / "APD" / "stale.ply")
+    assert len(pts) > 0

@@ -61,3 +61,15 @@ def test_prepare_scene_cli(tmp_path):
     _touch(scan / "undist" / "images" / "00000000.jpg")
     assert prepare_scene.main(["--scan_dir", str(scan)]) == 0
     assert (scan / "images").is_dir()
+
+
+def test_normalize_relative_scan_dir(tmp_path, monkeypatch):
+    """A relative scan_dir must not produce a dangling symlink (the OS
+    resolves relative targets against the link's directory)."""
+    scan = tmp_path / "scan"
+    (scan / "undist" / "images").mkdir(parents=True)
+    (scan / "undist" / "images" / "0.jpg").write_bytes(b"x")
+    monkeypatch.chdir(tmp_path)
+    out = layout.normalize_image_dir("scan")
+    assert out.is_dir()
+    assert (out / "0.jpg").exists()

@@ -91,10 +91,7 @@ def test_halo_tile_sweep_communicates_halos_only():
         "halo sweep must not all-gather state"
     cps = re.findall(r"collective-permute[^\n]*", txt)
     assert cps, "halo exchange should lower to collective-permute"
-    # every permuted buffer is halo-sized (8 rows), never a full shard
-    for line in re.findall(r"= \S+\[(\d+),", txt.replace(
-            "collective-permute(", "XcpX(")):
-        pass  # shape scan below is the authoritative check
+    # every permuted buffer is halo-sized, never a full shard
     shapes = re.findall(r"=\s+\S*\[([0-9,]+)\][^\n]*collective-permute", txt)
     for s in shapes:
         rows = int(s.split(",")[0])

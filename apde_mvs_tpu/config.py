@@ -65,6 +65,10 @@ class PatchMatchParams:
     ransac_threshold: float = 0.005
     geom_factor: float = GEOM_FACTOR_DEFAULT
     state: str = "first_init"
+    # TPU extension: sample source views from u8 span tiles (~2x gather
+    # throughput, texture-unit-grade precision; core/sampling.py). The f32
+    # quad path remains as the exact-parity oracle (--sampler quad).
+    sampler_u8: bool = True
 
     @property
     def strong_window_offsets(self) -> List[Tuple[int, int]]:
@@ -110,6 +114,7 @@ def build_schedule(
     use_sa: bool = True,
     use_impetus: bool = True,
     base: int = PYRAMID_BASE_MAX_DIM,
+    sampler_u8: bool = True,
 ) -> List[PassSpec]:
     """Generate the full multi-scale pass schedule.
 
@@ -127,14 +132,15 @@ def build_schedule(
             photo = PatchMatchParams(
                 state="first_init", use_apd=False, geom_consistency=False,
                 max_iterations=3, weak_peak_radius=6, use_sa=use_sa,
-                use_impetus=use_impetus, geom_factor=geom_factor)
+                use_impetus=use_impetus, geom_factor=geom_factor,
+                sampler_u8=sampler_u8)
         else:
             photo = PatchMatchParams(
                 state="refine_init", use_apd=True, geom_consistency=False,
                 max_iterations=3, weak_peak_radius=6, use_sa=use_sa,
                 use_impetus=use_impetus, geom_factor=geom_factor,
                 ransac_threshold=0.01 - i * 0.00125,
-                rotate_time=min(2 ** i, 4))
+                rotate_time=min(2 ** i, 4), sampler_u8=sampler_u8)
         schedule.append(PassSpec(i, iteration, scale_size, photo, False, False))
         iteration += 1
         for j in range(GEOM_ITERATIONS_PER_ROUND):
@@ -147,7 +153,8 @@ def build_schedule(
                 weak_peak_radius=max(4 - 2 * j, 2),
                 use_sa=use_sa, use_impetus=use_impetus, geom_factor=geom_factor,
                 ransac_threshold=(0.01 - i * 0.00125) if i != 0 else 0.005,
-                rotate_time=min(2 ** i, 4) if i != 0 else 4)
+                rotate_time=min(2 ** i, 4) if i != 0 else 4,
+                sampler_u8=sampler_u8)
             schedule.append(PassSpec(
                 i, iteration, scale_size, geom, is_last,
                 show_medium_result=(j == GEOM_ITERATIONS_PER_ROUND - 1)))

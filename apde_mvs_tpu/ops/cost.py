@@ -26,7 +26,9 @@ import numpy as np
 from flax import struct
 
 from ..core import geometry as geo
-from ..core.sampling import bilinear_sample_packed, fetch, pack_bilinear, texel_fetch
+from ..core.sampling import TILE_COLS, bilinear_sample_packed, \
+    bilinear_sample_tiles, fetch, pack_bilinear, pack_tiles_u8, \
+    tile_corner_lerp, texel_fetch
 
 COST_MAX = 2.0
 GEOM_COST_MAX = 3.0
@@ -62,7 +64,8 @@ class CostData:
     ref_cam: geo.CameraArrays            # unbatched
     src_cams: geo.CameraArrays           # batched over S
     ref_image: jnp.ndarray               # (H, W) f32
-    src_quads: jnp.ndarray               # (S, H*W, 4) packed bilinear
+    src_quads: Optional[jnp.ndarray]     # (S, H*W, 4) packed bilinear, or
+                                         # None when u8 span tiles are used
     sa_mask: jnp.ndarray                 # (H, W) int32; zeros when SA unused
     src_depths: jnp.ndarray              # (S, H, W) f32; zeros when unused
     width: int = struct.field(pytree_node=False)
@@ -77,6 +80,9 @@ class CostData:
     # sweep hands each shard a row-windowed REF image while source images
     # stay full-frame; quad indexing/clamping must use the source height)
     src_height: int = struct.field(pytree_node=False, default=0)
+    # (S, H*W, 64) u8 span tiles (core.sampling.pack_tiles_u8) — the fast
+    # production sampling layout; None selects the f32 quad path
+    src_tiles: Optional[jnp.ndarray] = None
 
     @property
     def img_w(self):
@@ -92,10 +98,21 @@ class CostData:
 
     @classmethod
     def build(cls, ref_cam, src_cams, ref_image, src_images, sa_mask=None,
-              src_depths=None, real_width=0, real_height=0):
+              src_depths=None, real_width=0, real_height=0,
+              sampler_u8=False):
+        """With ``sampler_u8`` the source images are packed as u8 span tiles
+        (~2x gather throughput; see core.sampling) and both ref and source
+        values are rounded to the integer grid so the two sides stay
+        photometrically consistent (lossless for raw images)."""
         h, w = ref_image.shape
         s = src_images.shape[0]
-        quads = jax.vmap(pack_bilinear)(src_images)
+        if sampler_u8:
+            ref_image = jnp.clip(jnp.round(ref_image), 0.0, 255.0)
+            quads = None
+            tiles = jax.vmap(pack_tiles_u8)(src_images)
+        else:
+            quads = jax.vmap(pack_bilinear)(src_images)
+            tiles = None
         if sa_mask is None:
             sa_mask = jnp.zeros((h, w), jnp.int32)
         if src_depths is None:
@@ -105,7 +122,8 @@ class CostData:
                    sa_mask=jnp.asarray(sa_mask, jnp.int32),
                    src_depths=jnp.asarray(src_depths, jnp.float32),
                    width=w, height=h, num_src=s,
-                   real_width=real_width, real_height=real_height)
+                   real_width=real_width, real_height=real_height,
+                   src_tiles=tiles)
 
 
 class RefWindow(NamedTuple):
@@ -189,6 +207,17 @@ def precompute_ref_window(data: CostData, x, y, radius: int, increment: int,
     return RefWindow(dx, dy, val, w, sum_ref, sum_rr, w.sum(-1))
 
 
+def sample_src_view(data: CostData, src_index, wx, wy):
+    """Bilinear-sample source view `src_index` at warped positions — the one
+    dispatch point between the u8 span-tile layout and the f32 quad layout
+    (the CUDA texture-fetch replacement; reference APD.cu:617)."""
+    if data.src_tiles is not None:
+        return bilinear_sample_tiles(data.src_tiles[src_index], data.width,
+                                     data.src_h, wx, wy)
+    return bilinear_sample_packed(data.src_quads[src_index], data.width,
+                                  data.src_h, wx, wy)
+
+
 def _clamped_fetch(arr, xi, yi):
     from ..core.sampling import take_rows
     h, w = arr.shape
@@ -229,7 +258,6 @@ def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow):
     gather pipeline saturated instead of dispatching T tiny kernels.
     """
     src_cam = data.src_cams.view(src_index)
-    quad = data.src_quads[src_index]
     H = geo.homography(data.ref_cam, src_cam, plane)
     cx, cy = geo.warp(H, x, y)
     oob = (cx < 0) | (cx >= data.img_w) | (cy < 0) | (cy >= data.img_h)
@@ -237,7 +265,7 @@ def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow):
     tx = x[..., None] + win.tap_dx                       # (B, T)
     ty = y[..., None] + win.tap_dy
     wx, wy = geo.warp(H[..., None, :, :], tx, ty)
-    sv = bilinear_sample_packed(quad, data.width, data.src_h, wx, wy)
+    sv = sample_src_view(data, src_index, wx, wy)
     tw = win.tap_w
     s_src = (tw * sv).sum(-1)
     s_ss = (tw * sv * sv).sum(-1)
@@ -262,6 +290,33 @@ def _gather_cams(cams: geo.CameraArrays, idx) -> geo.CameraArrays:
     return geo.CameraArrays(*[jnp.take(a, idx, axis=0) for a in cams])
 
 
+def flat_src_table(data: CostData):
+    """(table, tiled): all source views' sampling rows as one (S*H*W, C)
+    table for per-pixel dynamic view indexing (base = view_index * H * W)."""
+    tiled = data.src_tiles is not None
+    tab = data.src_tiles.reshape(-1, data.src_tiles.shape[-1]) if tiled \
+        else data.src_quads.reshape(-1, 4)
+    return tab, tiled
+
+
+def sample_src_flat(data: CostData, tab, tiled, base, wx, wy):
+    """Bilinear sample from the flat_src_table layout. `base` is the
+    view-row offset (view_index * H * W), broadcastable to wx's shape."""
+    wx = jnp.clip(wx, 0.0, data.width - 1.0)
+    wy = jnp.clip(wy, 0.0, data.src_h - 1.0)
+    x0 = jnp.floor(wx)
+    y0 = jnp.floor(wy)
+    fx = wx - x0
+    fy = wy - y0
+    rows = jnp.take(tab, base + y0.astype(jnp.int32) * data.width
+                    + x0.astype(jnp.int32), axis=0)
+    if tiled:
+        return tile_corner_lerp(rows, fx, fy)
+    top = rows[..., 0] * (1 - fx) + rows[..., 1] * fx
+    bot = rows[..., 2] * (1 - fx) + rows[..., 3] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,
                  sel_valid) -> jnp.ndarray:
     """NCC of one plane per pixel against a per-pixel view subset.
@@ -275,7 +330,7 @@ def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,
     B, K = sel_idx.shape
     hw = data.src_h * data.width
     src_cams = _gather_cams(data.src_cams, sel_idx)        # (B, K, ...)
-    quads = data.src_quads.reshape(-1, 4)                  # (S*HW, 4)
+    flat_tab, tiled = flat_src_table(data)                 # (S*HW, C)
 
     def slot(k, _):
         cam_k = geo.CameraArrays(*[a[:, k] for a in src_cams])
@@ -285,18 +340,8 @@ def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,
         tx = x[..., None] + win.tap_dx
         ty = y[..., None] + win.tap_dy
         wx, wy = geo.warp(H[..., None, :, :], tx, ty)
-        wx = jnp.clip(wx, 0.0, data.width - 1.0)
-        wy = jnp.clip(wy, 0.0, data.src_h - 1.0)
-        x0 = jnp.floor(wx)
-        y0 = jnp.floor(wy)
-        fx = wx - x0
-        fy = wy - y0
         base = sel_idx[:, k, None] * hw
-        rows = jnp.take(quads, base + y0.astype(jnp.int32) * data.width
-                        + x0.astype(jnp.int32), axis=0)
-        top = rows[..., 0] * (1 - fx) + rows[..., 1] * fx
-        bot = rows[..., 2] * (1 - fx) + rows[..., 3] * fx
-        sv = top * (1 - fy) + bot * fy
+        sv = sample_src_flat(data, flat_tab, tiled, base, wx, wy)
         tw = win.tap_w
         cost = ncc_from_sums(win.sum_ref, win.sum_rr, (tw * sv).sum(-1),
                              (tw * sv * sv).sum(-1),

@@ -21,9 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import geometry as geo
-from ..core.sampling import bilinear_sample_packed, fetch
+from ..core.sampling import fetch
 from . import cost as cost_ops
-from .cost import COST_MAX, CostData, MIN_VAR, RefWindow
+from .cost import COST_MAX, CostData, MIN_VAR, RefWindow, sample_src_view
 
 
 class WeakRefData(NamedTuple):
@@ -124,7 +124,6 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
                        params):
     """Deformable NCC of one plane per pixel against one source view. (B,)"""
     src_cam = data.src_cams.view(src_index)
-    quad = data.src_quads[src_index]
     H = geo.homography(data.ref_cam, src_cam, plane)
     x, y = wref.x, wref.y
     cx, cy = geo.warp(H, x, y)
@@ -135,7 +134,7 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
     ctx = x[..., None] + win.tap_dx
     cty = y[..., None] + win.tap_dy
     cwx, cwy = geo.warp(H[..., None, :, :], ctx, cty)
-    csv = bilinear_sample_packed(quad, data.width, data.src_h, cwx, cwy)
+    csv = sample_src_view(data, src_index, cwx, cwy)
     ctw = win.tap_w
     center_cost = cost_ops.ncc_from_sums(
         win.sum_ref, win.sum_rr, (ctw * csv).sum(-1),
@@ -150,7 +149,7 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
     tx = wref.anchor_x[..., None] + wk[None, None, :, 0]
     ty = wref.anchor_y[..., None] + wk[None, None, :, 1]
     wx, wy = geo.warp(H[..., None, None, :, :], tx, ty)
-    sv = bilinear_sample_packed(quad, data.width, data.src_h, wx, wy)
+    sv = sample_src_view(data, src_index, wx, wy)
     tw = wref.tap_w
     s_src_a = (tw * sv).sum(-1)
     s_ss_a = (tw * sv * sv).sum(-1)
@@ -182,3 +181,72 @@ def ncc_weak(data: CostData, wref: WeakRefData, plane, params) -> jnp.ndarray:
 
     _, costs = jax.lax.scan(body, 0, None, length=data.num_src)
     return jnp.moveaxis(costs, 0, -1)
+
+
+def ncc_weak_selected(data: CostData, wref: WeakRefData, plane, params,
+                      sel_idx, sel_valid) -> jnp.ndarray:
+    """Deformable NCC against a per-pixel view subset (B, K slots).
+
+    The weak-sweep analog of `cost.ncc_selected`: refinement/fit hypotheses
+    are weighted sums over the Monte-Carlo-voted views only (the reference's
+    sums skip zero-weight views, APD.cu:988-996), so for large source sets
+    the voted views are compacted into K slots and only those are sampled.
+    Returns (B, K) costs, COST_MAX on invalid slots."""
+    B, K = sel_idx.shape
+    hw = data.src_h * data.width
+    src_cams = cost_ops._gather_cams(data.src_cams, sel_idx)   # (B, K, ...)
+    flat_tab, tiled = cost_ops.flat_src_table(data)
+    wk = jnp.asarray(cost_ops.square_taps(params.weak_radius,
+                                          params.weak_increment))
+    x, y = wref.x, wref.y
+    win = wref.center_win
+
+    def slot(k, _):
+        cam_k = geo.CameraArrays(*[a[:, k] for a in src_cams])
+        H = geo.homography(data.ref_cam, cam_k, plane)
+        cx, cy = geo.warp(H, x, y)
+        center_oob = (cx < 0) | (cx >= data.img_w) | (cy < 0) \
+            | (cy >= data.img_h)
+        base = sel_idx[:, k, None] * hw                        # (B, 1)
+
+        ctx = x[..., None] + win.tap_dx
+        cty = y[..., None] + win.tap_dy
+        cwx, cwy = geo.warp(H[..., None, :, :], ctx, cty)
+        csv = cost_ops.sample_src_flat(data, flat_tab, tiled, base, cwx, cwy)
+        ctw = win.tap_w
+        center_cost = cost_ops.ncc_from_sums(
+            win.sum_ref, win.sum_rr, (ctw * csv).sum(-1),
+            (ctw * csv * csv).sum(-1), (ctw * win.tap_val * csv).sum(-1),
+            win.wsum)
+
+        awx, awy = geo.warp(H[..., None, :, :], wref.anchor_x, wref.anchor_y)
+        a_oob = (awx < 0) | (awx >= data.img_w) | (awy < 0) \
+            | (awy >= data.img_h)
+        tx = wref.anchor_x[..., None] + wk[None, None, :, 0]
+        ty = wref.anchor_y[..., None] + wk[None, None, :, 1]
+        wx, wy = geo.warp(H[..., None, None, :, :], tx, ty)
+        sv = cost_ops.sample_src_flat(data, flat_tab, tiled, base[..., None],
+                                      wx, wy)
+        tw = wref.tap_w
+        a_cost = cost_ops.ncc_from_sums(
+            wref.sum_ref, wref.sum_rr, (tw * sv).sum(-1),
+            (tw * sv * sv).sum(-1), (tw * wref.tap_val * sv).sum(-1),
+            wref.wsum)
+
+        sel_here = jnp.take_along_axis(
+            wref.anchor_sel,
+            jnp.broadcast_to(sel_idx[:, k, None, None], (B, 8, 1)),
+            axis=-1)[..., 0]
+        computable = wref.anchor_valid & ~a_oob & (wref.wsum > 0)
+        oob_counted = wref.anchor_valid & a_oob & sel_here
+        contrib = computable | oob_counted
+        vals = jnp.where(computable, a_cost, COST_MAX)
+        strong_weight = contrib.sum(-1)
+        strong_cost = _softmax_weighted(vals, contrib)
+        cost = jnp.where(strong_weight > 0,
+                         0.25 * center_cost + 0.75 * strong_cost, center_cost)
+        return k + 1, jnp.where(center_oob, COST_MAX, cost)
+
+    _, costs = jax.lax.scan(slot, 0, None, length=K)
+    costs = jnp.moveaxis(costs, 0, -1)
+    return jnp.where(sel_valid, costs, COST_MAX)

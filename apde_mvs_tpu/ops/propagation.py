@@ -35,7 +35,7 @@ from ..core.sampling import fetch
 from . import selection
 from .cost import COST_MAX, CostData, GEOM_COST_MAX, geom_cost, \
     geom_selected, ncc_selected, ncc_strong, precompute_ref_window
-from .deformable import WeakRefData, ncc_weak
+from .deformable import WeakRefData, ncc_weak, ncc_weak_selected
 from .state import PMState
 
 
@@ -392,11 +392,30 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
     # fit-plane test (reference: PlaneHypothesisRefinementWeak, APD.cu:1026-1052)
     fit_ok = jnp.any(fit_planes[:, :3] != 0.0, axis=-1)
 
-    def eval_plane(plane_i):
-        cv = ncc_weak(data, wref, plane_i, cfg)
-        if cfg.geom_consistency:
-            cv = cv + geom_factor * geom_cost(data, xf, yf, plane_i)
-        return (vw * cv).sum(-1) * inv_norm
+    # refinement hypotheses are weighted sums over the Monte-Carlo-voted
+    # views only (APD.cu:988-996); for large source sets compact the voted
+    # views into 8 slots (same scheme + gate as the strong sweep)
+    if S > 10:
+        voted = vw > 0
+        slot_idx = jnp.argsort(~voted, axis=-1,
+                               stable=True)[:, :8].astype(jnp.int32)
+        slot_valid = jnp.take_along_axis(voted, slot_idx, -1)
+        slot_w = jnp.take_along_axis(vw, slot_idx, -1)
+
+        def eval_plane(plane_i):
+            cv = ncc_weak_selected(data, wref, plane_i, cfg, slot_idx,
+                                   slot_valid)
+            if cfg.geom_consistency:
+                cv = cv + geom_factor * geom_selected(data, xf, yf, plane_i,
+                                                      slot_idx, slot_valid)
+            cv = jnp.where(slot_valid, cv, 0.0)
+            return (slot_w * cv).sum(-1) * inv_norm
+    else:
+        def eval_plane(plane_i):
+            cv = ncc_weak(data, wref, plane_i, cfg)
+            if cfg.geom_consistency:
+                cv = cv + geom_factor * geom_cost(data, xf, yf, plane_i)
+            return (vw * cv).sum(-1) * inv_norm
 
     fit_cost_vec = all_costs[:, 9]
     if cfg.geom_consistency:

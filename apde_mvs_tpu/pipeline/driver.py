@@ -195,7 +195,7 @@ def process_problem(problem: Problem, spec: cfg.PassSpec,
         cams.view(0), src_cams, jnp.asarray(ref_p),
         jnp.asarray(src_imgs), sa_mask=sa_mask,
         src_depths=jnp.asarray(src_depths) if src_depths is not None else None,
-        real_width=w, real_height=h)
+        real_width=w, real_height=h, sampler_u8=params.sampler_u8)
 
     pass_seed = (seed * 1000003 + problem.ref_image_id * 131 + spec.iteration)
     t_pm = time.time()
@@ -320,7 +320,8 @@ def run_scan(dense_folder, dataset: str = "General", *,
              export_curve: bool = False, export_color: bool = True,
              seed: int = 0, pyramid_base: int = PYRAMID_BASE_MAX_DIM,
              fuse_shard=None, views_parallel: Optional[bool] = None,
-             view_batch: Optional[int] = None) -> None:
+             view_batch: Optional[int] = None,
+             sampler_u8: bool = True) -> None:
     """Full scan reconstruction (reference: main.cpp:210-411).
 
     ``views_parallel``: run every view's pass simultaneously with views
@@ -354,7 +355,8 @@ def run_scan(dense_folder, dataset: str = "General", *,
         p0.dense_folder / "images" / (format_index(p0.ref_image_id) + p0.img_ext),
         cache=cache)
     schedule = cfg.build_schedule(max(img0.shape), dataset, use_sa=use_sa,
-                                  use_impetus=use_impetus, base=pyramid_base)
+                                  use_impetus=use_impetus, base=pyramid_base,
+                                  sampler_u8=sampler_u8)
     if views_parallel is None:
         import jax
         views_parallel = len(jax.devices()) > 1

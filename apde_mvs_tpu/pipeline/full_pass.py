@@ -40,6 +40,7 @@ class PassStatic(NamedTuple):
     radius_budget: int
     classify_chunk: int
     sweep_k: int = 8       # selected-view slots in classify/refine sweeps
+    sampler_u8: bool = False  # u8 span-tile source sampling (core.sampling)
 
     @staticmethod
     def from_params(params: PatchMatchParams, nw_cap: int,
@@ -65,7 +66,8 @@ class PassStatic(NamedTuple):
             nw_cap=nw_cap,
             radius_budget=radius_budget,
             classify_chunk=classify_chunk,
-            sweep_k=sweep_k)
+            sweep_k=sweep_k,
+            sampler_u8=bool(params.sampler_u8))
 
 
 def _pixel_chunks(h: int, w: int, chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray, int]:

@@ -42,7 +42,8 @@ def main():
     src_ids = np.asarray([v for v in range(num_views) if v != 0])
     data = CostData.build(
         cams.view(0), geo.CameraArrays(*[a[src_ids] for a in cams]),
-        jnp.asarray(scene.images[0]), jnp.asarray(scene.images[src_ids]))
+        jnp.asarray(scene.images[0]), jnp.asarray(scene.images[src_ids]),
+        sampler_u8=True)
 
     params = PatchMatchParams()
     cfg = PropCfg(use_sa=False)

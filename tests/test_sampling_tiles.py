@@ -1,0 +1,163 @@
+"""u8 span-tile sampling layout: parity with the f32 quad path.
+
+For integer-valued images (raw 0..255 inputs) the tile path must be
+bitwise-identical to the quad path: same gathered values, same lerp order.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apde_mvs_tpu.core import geometry as geo
+from apde_mvs_tpu.core.sampling import TILE_COLS, TILE_ROWS, \
+    bilinear_sample_packed, bilinear_sample_tiles, pack_bilinear, \
+    pack_tiles_u8
+from apde_mvs_tpu.ops.cost import CostData, initial_cost_and_selection, \
+    ncc_selected, ncc_strong, precompute_ref_window
+from apde_mvs_tpu.testing import synthetic
+
+
+def _int_image(rng, h, w):
+    return jnp.asarray(rng.integers(0, 256, (h, w)), jnp.float32)
+
+
+def test_pack_tiles_layout():
+    rng = np.random.default_rng(0)
+    h, w = 11, 19
+    img = _int_image(rng, h, w)
+    tiles = np.asarray(pack_tiles_u8(img)).reshape(h, w, TILE_ROWS, TILE_COLS)
+    imn = np.asarray(img)
+    for y, x in [(0, 0), (3, 7), (h - 1, w - 1), (h - 2, 5)]:
+        for dy in range(TILE_ROWS):
+            for dx in range(TILE_COLS):
+                yy = min(y + dy, h - 1)
+                xx = min(x + dx, w - 1)
+                assert tiles[y, x, dy, dx] == imn[yy, xx]
+
+
+def test_tile_sampler_bitwise_equals_quad():
+    rng = np.random.default_rng(1)
+    h, w = 40, 56
+    img = _int_image(rng, h, w)
+    quad = pack_bilinear(img)
+    tiles = pack_tiles_u8(img)
+    x = jnp.asarray(rng.uniform(-3, w + 3, (500,)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-3, h + 3, (500,)), jnp.float32)
+    # include exact-integer and exact-edge positions
+    x = jnp.concatenate([x, jnp.asarray([0.0, w - 1.0, 17.0, w - 1.5])])
+    y = jnp.concatenate([y, jnp.asarray([0.0, h - 1.0, 11.0, h - 1.5])])
+    a = np.asarray(bilinear_sample_packed(quad, w, h, x, y))
+    b = np.asarray(bilinear_sample_tiles(tiles, w, h, x, y))
+    np.testing.assert_array_equal(a, b)
+
+
+def _two_datas(num_views=4, h=48, w=64):
+    scene = synthetic.make_scene(num_views=num_views, height=h, width=w)
+    # pre-round so the quad path sees the identical photometry as the tiles
+    images = jnp.round(jnp.asarray(scene.images))
+    cams = geo.CameraArrays.from_cameras(scene.cameras)
+    src_ids = np.arange(1, num_views)
+    src_cams = geo.CameraArrays(*[a[src_ids] for a in cams])
+    dq = CostData.build(cams.view(0), src_cams, images[0], images[src_ids])
+    dt = CostData.build(cams.view(0), src_cams, images[0], images[src_ids],
+                        sampler_u8=True)
+    return scene, dq, dt
+
+
+def test_ncc_strong_parity():
+    scene, dq, dt = _two_datas()
+    rng = np.random.default_rng(2)
+    B = 256
+    x = jnp.asarray(rng.uniform(6, dq.width - 7, B), jnp.float32)
+    y = jnp.asarray(rng.uniform(6, dq.height - 7, B), jnp.float32)
+    n = np.tile(np.asarray([0.1, -0.05, -1.0]) / np.linalg.norm([0.1, -0.05, -1.0]),
+                (B, 1))
+    d = rng.uniform(3.0, 5.0, B)
+    plane = geo.make_plane(dq.ref_cam, x, y, jnp.asarray(d, jnp.float32),
+                           jnp.asarray(n, jnp.float32))
+    win_q = precompute_ref_window(dq, x, y, 5, 2, False)
+    win_t = precompute_ref_window(dt, x, y, 5, 2, False)
+    cq = np.asarray(ncc_strong(dq, x, y, plane, win_q))
+    ct = np.asarray(ncc_strong(dt, x, y, plane, win_t))
+    np.testing.assert_array_equal(cq, ct)
+
+
+def test_ncc_selected_parity():
+    scene, dq, dt = _two_datas()
+    rng = np.random.default_rng(3)
+    B, K = 128, 2
+    x = jnp.asarray(rng.uniform(6, dq.width - 7, B), jnp.float32)
+    y = jnp.asarray(rng.uniform(6, dq.height - 7, B), jnp.float32)
+    n = np.tile(np.asarray([0.0, 0.0, -1.0]), (B, 1))
+    plane = geo.make_plane(dq.ref_cam, x, y,
+                           jnp.asarray(rng.uniform(3.2, 4.8, B), jnp.float32),
+                           jnp.asarray(n, jnp.float32))
+    sel_idx = jnp.asarray(rng.integers(0, dq.num_src, (B, K)), jnp.int32)
+    sel_valid = jnp.asarray(rng.random((B, K)) > 0.3)
+    win_q = precompute_ref_window(dq, x, y, 5, 2, False)
+    cq = np.asarray(ncc_selected(dq, x, y, plane, win_q, sel_idx, sel_valid))
+    ct = np.asarray(ncc_selected(dt, x, y, plane, win_q, sel_idx, sel_valid))
+    np.testing.assert_array_equal(cq, ct)
+
+
+def test_ncc_weak_parity():
+    from apde_mvs_tpu.config import PatchMatchParams
+    from apde_mvs_tpu.ops.deformable import WeakRefData, ncc_weak
+    scene, dq, dt = _two_datas()
+    rng = np.random.default_rng(4)
+    B = 64
+    params = PatchMatchParams(use_sa=False)
+    x = jnp.asarray(rng.integers(10, dq.width - 10, B), jnp.float32)
+    y = jnp.asarray(rng.integers(10, dq.height - 10, B), jnp.float32)
+    anchors = np.full((B, 9, 2), -1, np.int32)
+    anchors[:, 0, 0] = np.asarray(x, np.int32)
+    anchors[:, 0, 1] = np.asarray(y, np.int32)
+    for a in range(1, 5):
+        anchors[:, a, 0] = rng.integers(8, dq.width - 8, B)
+        anchors[:, a, 1] = rng.integers(8, dq.height - 8, B)
+    anchors = jnp.asarray(anchors)
+    selected = jnp.ones((dq.height, dq.width, dq.num_src), bool)
+    n = np.tile(np.asarray([0.0, 0.0, -1.0]), (B, 1))
+    plane = geo.make_plane(dq.ref_cam, x, y,
+                           jnp.asarray(rng.uniform(3.2, 4.8, B), jnp.float32),
+                           jnp.asarray(n, jnp.float32))
+    wq = WeakRefData.build(dq, x, y, anchors, selected, params)
+    wt = WeakRefData.build(dt, x, y, anchors, selected, params)
+    cq = np.asarray(ncc_weak(dq, wq, plane, params))
+    ct = np.asarray(ncc_weak(dt, wt, plane, params))
+    np.testing.assert_array_equal(cq, ct)
+
+
+def test_ncc_weak_selected_matches_full():
+    """Slot-compacted deformable NCC == the all-views sweep gathered at the
+    slot indices, on both sampling layouts."""
+    from apde_mvs_tpu.config import PatchMatchParams
+    from apde_mvs_tpu.ops.deformable import WeakRefData, ncc_weak, \
+        ncc_weak_selected
+    scene, dq, dt = _two_datas(num_views=5)
+    rng = np.random.default_rng(5)
+    B, K = 48, 3
+    params = PatchMatchParams(use_sa=False)
+    x = jnp.asarray(rng.integers(10, dq.width - 10, B), jnp.float32)
+    y = jnp.asarray(rng.integers(10, dq.height - 10, B), jnp.float32)
+    anchors = np.full((B, 9, 2), -1, np.int32)
+    anchors[:, 0, 0] = np.asarray(x, np.int32)
+    anchors[:, 0, 1] = np.asarray(y, np.int32)
+    for a in range(1, 6):
+        anchors[:, a, 0] = rng.integers(8, dq.width - 8, B)
+        anchors[:, a, 1] = rng.integers(8, dq.height - 8, B)
+    anchors = jnp.asarray(anchors)
+    selected = jnp.asarray(rng.random((dq.height, dq.width, dq.num_src)) > 0.4)
+    n = np.tile(np.asarray([0.0, 0.0, -1.0]), (B, 1))
+    plane = geo.make_plane(dq.ref_cam, x, y,
+                           jnp.asarray(rng.uniform(3.2, 4.8, B), jnp.float32),
+                           jnp.asarray(n, jnp.float32))
+    sel_idx = jnp.asarray(rng.integers(0, dq.num_src, (B, K)), jnp.int32)
+    sel_valid = jnp.asarray(rng.random((B, K)) > 0.3)
+    for data in (dq, dt):
+        wref = WeakRefData.build(data, x, y, anchors, selected, params)
+        full = np.asarray(ncc_weak(data, wref, plane, params))       # (B, S)
+        got = np.asarray(ncc_weak_selected(data, wref, plane, params,
+                                           sel_idx, sel_valid))      # (B, K)
+        want = np.take_along_axis(full, np.asarray(sel_idx), axis=-1)
+        want = np.where(np.asarray(sel_valid), want, 2.0)            # COST_MAX
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)

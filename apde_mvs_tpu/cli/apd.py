@@ -52,10 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "into a partial PLY")
     p.add_argument("--merge_fusion", type=int, default=None,
                    help="merge N partial fusion PLYs into APD.ply and exit")
-    p.add_argument("--sampler", type=str, default="tile_u8",
-                   choices=["tile_u8", "quad"],
-                   help="source sampling layout: u8 span tiles (fast, "
-                        "texture-grade precision) or f32 quads (exact oracle)")
+    p.add_argument("--sampler", type=str, default="u8",
+                   choices=["u8", "f32"],
+                   help="source sampling table dtype: u8 quads (fast, "
+                        "texture-grade precision) or f32 quads (exact "
+                        "oracle)")
     return p
 
 
@@ -104,7 +105,7 @@ def main(argv=None) -> int:
             views_parallel={"auto": None, "true": True,
                             "false": False}[args.views_parallel],
             view_batch=args.view_batch,
-            sampler_u8=(args.sampler == "tile_u8"))
+            sampler_u8=(args.sampler == "u8"))
     return 0
 
 

@@ -65,9 +65,9 @@ class PatchMatchParams:
     ransac_threshold: float = 0.005
     geom_factor: float = GEOM_FACTOR_DEFAULT
     state: str = "first_init"
-    # TPU extension: sample source views from u8 span tiles (~2x gather
+    # TPU extension: sample source views from u8 quad tables (~2.4x gather
     # throughput, texture-unit-grade precision; core/sampling.py). The f32
-    # quad path remains as the exact-parity oracle (--sampler quad).
+    # quad path remains as the exact-parity oracle (--sampler f32).
     sampler_u8: bool = True
 
     @property

@@ -30,7 +30,7 @@ def pack_bilinear(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def bilinear_sample_packed(quad: jnp.ndarray, width: int, height: int, x, y):
-    """Bilinear sample from a pack_bilinear() layout. x, y any shape."""
+    """Bilinear sample from a pack_bilinear[_u8]() layout. x, y any shape."""
     x = jnp.clip(x, 0.0, width - 1.0)
     y = jnp.clip(y, 0.0, height - 1.0)
     x0 = jnp.floor(x)
@@ -38,7 +38,7 @@ def bilinear_sample_packed(quad: jnp.ndarray, width: int, height: int, x, y):
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
     idx = (y0.astype(jnp.int32) * width + x0.astype(jnp.int32))
-    v = jnp.take(quad, idx, axis=0)  # (..., 4)
+    v = jnp.take(quad, idx, axis=0).astype(jnp.float32)  # (..., 4)
     top = v[..., 0] * (1.0 - fx[..., 0]) + v[..., 1] * fx[..., 0]
     bot = v[..., 2] * (1.0 - fx[..., 0]) + v[..., 3] * fx[..., 0]
     return top * (1.0 - fy[..., 0]) + bot * fy[..., 0]
@@ -68,61 +68,26 @@ def bilinear_sample(img: jnp.ndarray, x, y):
 
 
 # ---------------------------------------------------------------------------
-# u8 span tiles — the fast-gather sampling layout.
+# u8 quads — the fast-gather sampling layout.
 #
 # Probing XLA:TPU's gather emitter (benchmarks/gather_width_probe.py, v5e)
-# showed the row-gather rate is NON-monotonic in row width: (N, 4) f32 quad
-# rows gather at ~170 M rows/s while (N, 64) u8 rows hit ~357 M rows/s — a
-# different (vectorized) emitter kicks in at 64/128-element rows.  A 64-byte
-# u8 row holds a 4-row x 16-col image span tile, which contains the whole
-# 2x2 bilinear footprint of any sample anchored at its origin — so one tile
-# gather + four STATIC corner reads replaces the quad-row gather at ~2x the
-# row rate.  u8 is lossless for raw images (integer 0..255 values); callers
-# round fractional (pyramid-rescaled) images once at pack time, which is
-# within the reference's own texture-unit interpolation precision
-# (tex2D uses 9-bit fixed-point fractions; APD.cpp:687-734).
+# showed the row-gather rate depends strongly on the row DTYPE: (N, 4) f32
+# quad rows gather at ~170 M rows/s, but (N, 4) u8 rows at ~413 M rows/s
+# (u16/i32 rows stay at the slow f32 rate; wide u8 rows plateau at ~350).
+# So the default table packs the same 2x2 quad layout in u8: 2.4x the
+# gather rate AND a 4x smaller table.  u8 is lossless for raw images
+# (integer 0..255 values); pyramid-rescaled (fractional) images are rounded
+# once at pack time, which is within the reference's own texture-unit
+# interpolation precision (tex2D uses 9-bit fixed-point fractions;
+# APD.cpp:687-734).  The f32 quad path remains as the exact oracle.
 # ---------------------------------------------------------------------------
 
-TILE_ROWS = 4
-TILE_COLS = 16
 
-
-def pack_tiles_u8(img: jnp.ndarray) -> jnp.ndarray:
-    """Pack (H, W) 0..255 values -> (H*W, 64) u8 span tiles.
-
-    Row y*W+x holds img[y:y+4, x:x+16] row-major, edge-replicated past the
-    borders (texture clamp semantics). Fractional values are rounded."""
-    h, w = img.shape
-    u8 = jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint8)
-    padded = jnp.pad(u8, ((0, TILE_ROWS - 1), (0, TILE_COLS - 1)), mode="edge")
-    shifts = [padded[dy:dy + h, dx:dx + w]
-              for dy in range(TILE_ROWS) for dx in range(TILE_COLS)]
-    tiles = jnp.stack(shifts, axis=-1)          # (H, W, 64)
-    return tiles.reshape(h * w, TILE_ROWS * TILE_COLS)
-
-
-def tile_corner_lerp(rows: jnp.ndarray, fx, fy):
-    """Bilinear from gathered tile rows (..., 64): the 2x2 footprint sits at
-    static positions [0, 1, TILE_COLS, TILE_COLS+1]. Same lerp order as
-    bilinear_sample_packed, so results are bitwise-equal for integer images."""
-    v00 = rows[..., 0].astype(jnp.float32)
-    v01 = rows[..., 1].astype(jnp.float32)
-    v10 = rows[..., TILE_COLS].astype(jnp.float32)
-    v11 = rows[..., TILE_COLS + 1].astype(jnp.float32)
-    top = v00 * (1.0 - fx) + v01 * fx
-    bot = v10 * (1.0 - fx) + v11 * fx
-    return top * (1.0 - fy) + bot * fy
-
-
-def bilinear_sample_tiles(tiles: jnp.ndarray, width: int, height: int, x, y):
-    """Bilinear sample from a pack_tiles_u8() layout. x, y any shape."""
-    x = jnp.clip(x, 0.0, width - 1.0)
-    y = jnp.clip(y, 0.0, height - 1.0)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    idx = y0.astype(jnp.int32) * width + x0.astype(jnp.int32)
-    rows = jnp.take(tiles, idx, axis=0)          # (..., 64)
-    return tile_corner_lerp(rows, x - x0, y - y0)
+def pack_bilinear_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Pack (H, W) 0..255 values -> (H*W, 4) u8 quad rows (pack_bilinear
+    layout). Fractional values are rounded to the integer grid."""
+    return pack_bilinear(jnp.clip(jnp.round(img), 0.0, 255.0)
+                         .astype(jnp.uint8))
 
 
 def take_rows(flat: jnp.ndarray, idx):

@@ -26,9 +26,8 @@ import numpy as np
 from flax import struct
 
 from ..core import geometry as geo
-from ..core.sampling import TILE_COLS, bilinear_sample_packed, \
-    bilinear_sample_tiles, fetch, pack_bilinear, pack_tiles_u8, \
-    tile_corner_lerp, texel_fetch
+from ..core.sampling import bilinear_sample_packed, fetch, pack_bilinear, \
+    pack_bilinear_u8, texel_fetch
 
 COST_MAX = 2.0
 GEOM_COST_MAX = 3.0
@@ -64,8 +63,8 @@ class CostData:
     ref_cam: geo.CameraArrays            # unbatched
     src_cams: geo.CameraArrays           # batched over S
     ref_image: jnp.ndarray               # (H, W) f32
-    src_quads: Optional[jnp.ndarray]     # (S, H*W, 4) packed bilinear, or
-                                         # None when u8 span tiles are used
+    src_quads: jnp.ndarray               # (S, H*W, 4) packed bilinear quads,
+                                         # u8 (default) or f32 (exact oracle)
     sa_mask: jnp.ndarray                 # (H, W) int32; zeros when SA unused
     src_depths: jnp.ndarray              # (S, H, W) f32; zeros when unused
     width: int = struct.field(pytree_node=False)
@@ -80,9 +79,6 @@ class CostData:
     # sweep hands each shard a row-windowed REF image while source images
     # stay full-frame; quad indexing/clamping must use the source height)
     src_height: int = struct.field(pytree_node=False, default=0)
-    # (S, H*W, 64) u8 span tiles (core.sampling.pack_tiles_u8) — the fast
-    # production sampling layout; None selects the f32 quad path
-    src_tiles: Optional[jnp.ndarray] = None
 
     @property
     def img_w(self):
@@ -100,19 +96,18 @@ class CostData:
     def build(cls, ref_cam, src_cams, ref_image, src_images, sa_mask=None,
               src_depths=None, real_width=0, real_height=0,
               sampler_u8=False):
-        """With ``sampler_u8`` the source images are packed as u8 span tiles
-        (~2x gather throughput; see core.sampling) and both ref and source
-        values are rounded to the integer grid so the two sides stay
-        photometrically consistent (lossless for raw images)."""
+        """With ``sampler_u8`` the source images are packed as u8 quads
+        (~2.4x gather throughput, 4x smaller table; see core.sampling) and
+        both ref and source values are rounded to the integer grid so the
+        two sides stay photometrically consistent (lossless for raw
+        images)."""
         h, w = ref_image.shape
         s = src_images.shape[0]
         if sampler_u8:
             ref_image = jnp.clip(jnp.round(ref_image), 0.0, 255.0)
-            quads = None
-            tiles = jax.vmap(pack_tiles_u8)(src_images)
+            quads = jax.vmap(pack_bilinear_u8)(src_images)
         else:
             quads = jax.vmap(pack_bilinear)(src_images)
-            tiles = None
         if sa_mask is None:
             sa_mask = jnp.zeros((h, w), jnp.int32)
         if src_depths is None:
@@ -122,8 +117,7 @@ class CostData:
                    sa_mask=jnp.asarray(sa_mask, jnp.int32),
                    src_depths=jnp.asarray(src_depths, jnp.float32),
                    width=w, height=h, num_src=s,
-                   real_width=real_width, real_height=real_height,
-                   src_tiles=tiles)
+                   real_width=real_width, real_height=real_height)
 
 
 class RefWindow(NamedTuple):
@@ -208,12 +202,9 @@ def precompute_ref_window(data: CostData, x, y, radius: int, increment: int,
 
 
 def sample_src_view(data: CostData, src_index, wx, wy):
-    """Bilinear-sample source view `src_index` at warped positions — the one
-    dispatch point between the u8 span-tile layout and the f32 quad layout
-    (the CUDA texture-fetch replacement; reference APD.cu:617)."""
-    if data.src_tiles is not None:
-        return bilinear_sample_tiles(data.src_tiles[src_index], data.width,
-                                     data.src_h, wx, wy)
+    """Bilinear-sample source view `src_index` at warped positions (the CUDA
+    texture-fetch replacement; reference APD.cu:617). The quad table is u8
+    (default) or f32 (exact oracle); bilinear_sample_packed handles both."""
     return bilinear_sample_packed(data.src_quads[src_index], data.width,
                                   data.src_h, wx, wy)
 
@@ -291,15 +282,12 @@ def _gather_cams(cams: geo.CameraArrays, idx) -> geo.CameraArrays:
 
 
 def flat_src_table(data: CostData):
-    """(table, tiled): all source views' sampling rows as one (S*H*W, C)
-    table for per-pixel dynamic view indexing (base = view_index * H * W)."""
-    tiled = data.src_tiles is not None
-    tab = data.src_tiles.reshape(-1, data.src_tiles.shape[-1]) if tiled \
-        else data.src_quads.reshape(-1, 4)
-    return tab, tiled
+    """All source views' quad rows as one (S*H*W, 4) table for per-pixel
+    dynamic view indexing (base = view_index * H * W)."""
+    return data.src_quads.reshape(-1, 4)
 
 
-def sample_src_flat(data: CostData, tab, tiled, base, wx, wy):
+def sample_src_flat(data: CostData, tab, base, wx, wy):
     """Bilinear sample from the flat_src_table layout. `base` is the
     view-row offset (view_index * H * W), broadcastable to wx's shape."""
     wx = jnp.clip(wx, 0.0, data.width - 1.0)
@@ -309,9 +297,7 @@ def sample_src_flat(data: CostData, tab, tiled, base, wx, wy):
     fx = wx - x0
     fy = wy - y0
     rows = jnp.take(tab, base + y0.astype(jnp.int32) * data.width
-                    + x0.astype(jnp.int32), axis=0)
-    if tiled:
-        return tile_corner_lerp(rows, fx, fy)
+                    + x0.astype(jnp.int32), axis=0).astype(jnp.float32)
     top = rows[..., 0] * (1 - fx) + rows[..., 1] * fx
     bot = rows[..., 2] * (1 - fx) + rows[..., 3] * fx
     return top * (1 - fy) + bot * fy
@@ -330,7 +316,7 @@ def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,
     B, K = sel_idx.shape
     hw = data.src_h * data.width
     src_cams = _gather_cams(data.src_cams, sel_idx)        # (B, K, ...)
-    flat_tab, tiled = flat_src_table(data)                 # (S*HW, C)
+    flat_tab = flat_src_table(data)                        # (S*HW, 4)
 
     def slot(k, _):
         cam_k = geo.CameraArrays(*[a[:, k] for a in src_cams])
@@ -341,7 +327,7 @@ def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,
         ty = y[..., None] + win.tap_dy
         wx, wy = geo.warp(H[..., None, :, :], tx, ty)
         base = sel_idx[:, k, None] * hw
-        sv = sample_src_flat(data, flat_tab, tiled, base, wx, wy)
+        sv = sample_src_flat(data, flat_tab, base, wx, wy)
         tw = win.tap_w
         cost = ncc_from_sums(win.sum_ref, win.sum_rr, (tw * sv).sum(-1),
                              (tw * sv * sv).sum(-1),

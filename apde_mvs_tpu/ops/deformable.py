@@ -195,7 +195,7 @@ def ncc_weak_selected(data: CostData, wref: WeakRefData, plane, params,
     B, K = sel_idx.shape
     hw = data.src_h * data.width
     src_cams = cost_ops._gather_cams(data.src_cams, sel_idx)   # (B, K, ...)
-    flat_tab, tiled = cost_ops.flat_src_table(data)
+    flat_tab = cost_ops.flat_src_table(data)
     wk = jnp.asarray(cost_ops.square_taps(params.weak_radius,
                                           params.weak_increment))
     x, y = wref.x, wref.y
@@ -212,7 +212,7 @@ def ncc_weak_selected(data: CostData, wref: WeakRefData, plane, params,
         ctx = x[..., None] + win.tap_dx
         cty = y[..., None] + win.tap_dy
         cwx, cwy = geo.warp(H[..., None, :, :], ctx, cty)
-        csv = cost_ops.sample_src_flat(data, flat_tab, tiled, base, cwx, cwy)
+        csv = cost_ops.sample_src_flat(data, flat_tab, base, cwx, cwy)
         ctw = win.tap_w
         center_cost = cost_ops.ncc_from_sums(
             win.sum_ref, win.sum_rr, (ctw * csv).sum(-1),
@@ -225,7 +225,7 @@ def ncc_weak_selected(data: CostData, wref: WeakRefData, plane, params,
         tx = wref.anchor_x[..., None] + wk[None, None, :, 0]
         ty = wref.anchor_y[..., None] + wk[None, None, :, 1]
         wx, wy = geo.warp(H[..., None, None, :, :], tx, ty)
-        sv = cost_ops.sample_src_flat(data, flat_tab, tiled, base[..., None],
+        sv = cost_ops.sample_src_flat(data, flat_tab, base[..., None],
                                       wx, wy)
         tw = wref.tap_w
         a_cost = cost_ops.ncc_from_sums(

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import UNKNOWN
 from ..core import geometry as geo
-from ..core.sampling import pack_bilinear, pack_tiles_u8
+from ..core.sampling import pack_bilinear, pack_bilinear_u8
 from ..ops.cost import CostData
 from ..ops.state import PMState
 from ..pipeline.full_pass import PassStatic, full_pass
@@ -116,12 +116,12 @@ def _pass_body(scene: ScenePassInputs, ransac_threshold, weak_peak_radius,
         src_imgs = scene.images[pair_row]            # (S, H, W)
         ref_img = scene.images[ref]
         if cfg.sampler_u8:
-            # u8 span tiles (core.sampling): ~2x gather rate; ref image is
+            # u8 quads (core.sampling): ~2.4x gather rate; ref image is
             # rounded so both sides share the integer photometric grid
-            quads, tiles = None, jax.vmap(pack_tiles_u8)(src_imgs)
+            quads = jax.vmap(pack_bilinear_u8)(src_imgs)
             ref_img = jnp.clip(jnp.round(ref_img), 0.0, 255.0)
         else:
-            quads, tiles = jax.vmap(pack_bilinear)(src_imgs), None
+            quads = jax.vmap(pack_bilinear)(src_imgs)
         if geom_or_apd:
             src_depths = all_depths[scene.depth_slot[pair_row]]
         else:
@@ -131,8 +131,7 @@ def _pass_body(scene: ScenePassInputs, ransac_threshold, weak_peak_radius,
             ref_image=ref_img, src_quads=quads,
             sa_mask=scene.sa[i], src_depths=src_depths,
             width=w, height=h, num_src=S,
-            real_width=real_w, real_height=real_h,
-            src_tiles=tiles)
+            real_width=real_w, real_height=real_h)
 
         state = PMState.create(h, w, S, valid=scene.valid)
         if cfg.use_apd:

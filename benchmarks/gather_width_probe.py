@@ -74,9 +74,17 @@ def main():
         tab = jnp.asarray(rng.random((HW, w)), jnp.float32)
         measure(tab, f"f32 (N,{w})")
     print("u8 tables:")
-    for w in (16, 32, 64, 128, 256):
+    for w in (2, 4, 8, 16, 32, 64, 128, 256):
         tab = jnp.asarray(rng.integers(0, 255, (HW, w)), jnp.uint8)
         measure(tab, f"u8  (N,{w})")
+    # narrow integer rows that hold a full 2x2 bilinear quad in 2-4 bytes:
+    # all columns are consumed by the chain so XLA cannot shrink the slice
+    print("packed-quad candidate rows:")
+    for dt, w, hi in ((jnp.uint16, 2, 1 << 16), (jnp.int32, 2, 1 << 30),
+                      (jnp.uint16, 4, 1 << 16)):
+        tab = jnp.asarray(
+            rng.integers(0, hi, (HW, w)).astype(np.int64), dt)
+        measure(tab, f"{dt.__name__} (N,{w})")
 
 
 if __name__ == "__main__":

@@ -1,16 +1,15 @@
-"""u8 span-tile sampling layout: parity with the f32 quad path.
+"""u8 quad sampling layout: parity with the f32 quad path.
 
-For integer-valued images (raw 0..255 inputs) the tile path must be
-bitwise-identical to the quad path: same gathered values, same lerp order.
+For integer-valued images (raw 0..255 inputs) the u8 path must be
+bitwise-identical to the f32 path: same gathered values, same lerp order.
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from apde_mvs_tpu.core import geometry as geo
-from apde_mvs_tpu.core.sampling import TILE_COLS, TILE_ROWS, \
-    bilinear_sample_packed, bilinear_sample_tiles, pack_bilinear, \
-    pack_tiles_u8
+from apde_mvs_tpu.core.sampling import bilinear_sample_packed, \
+    pack_bilinear, pack_bilinear_u8
 from apde_mvs_tpu.ops.cost import CostData, initial_cost_and_selection, \
     ncc_selected, ncc_strong, precompute_ref_window
 from apde_mvs_tpu.testing import synthetic
@@ -20,33 +19,32 @@ def _int_image(rng, h, w):
     return jnp.asarray(rng.integers(0, 256, (h, w)), jnp.float32)
 
 
-def test_pack_tiles_layout():
+def test_pack_u8_layout():
     rng = np.random.default_rng(0)
     h, w = 11, 19
     img = _int_image(rng, h, w)
-    tiles = np.asarray(pack_tiles_u8(img)).reshape(h, w, TILE_ROWS, TILE_COLS)
+    quads = np.asarray(pack_bilinear_u8(img)).reshape(h, w, 4)
     imn = np.asarray(img)
     for y, x in [(0, 0), (3, 7), (h - 1, w - 1), (h - 2, 5)]:
-        for dy in range(TILE_ROWS):
-            for dx in range(TILE_COLS):
-                yy = min(y + dy, h - 1)
-                xx = min(x + dx, w - 1)
-                assert tiles[y, x, dy, dx] == imn[yy, xx]
+        for c, (dy, dx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            yy = min(y + dy, h - 1)
+            xx = min(x + dx, w - 1)
+            assert quads[y, x, c] == imn[yy, xx]
 
 
-def test_tile_sampler_bitwise_equals_quad():
+def test_u8_sampler_bitwise_equals_f32():
     rng = np.random.default_rng(1)
     h, w = 40, 56
     img = _int_image(rng, h, w)
     quad = pack_bilinear(img)
-    tiles = pack_tiles_u8(img)
+    quad8 = pack_bilinear_u8(img)
     x = jnp.asarray(rng.uniform(-3, w + 3, (500,)), jnp.float32)
     y = jnp.asarray(rng.uniform(-3, h + 3, (500,)), jnp.float32)
     # include exact-integer and exact-edge positions
     x = jnp.concatenate([x, jnp.asarray([0.0, w - 1.0, 17.0, w - 1.5])])
     y = jnp.concatenate([y, jnp.asarray([0.0, h - 1.0, 11.0, h - 1.5])])
     a = np.asarray(bilinear_sample_packed(quad, w, h, x, y))
-    b = np.asarray(bilinear_sample_tiles(tiles, w, h, x, y))
+    b = np.asarray(bilinear_sample_packed(quad8, w, h, x, y))
     np.testing.assert_array_equal(a, b)
 
 

@@ -40,7 +40,8 @@ def build():
     src_ids = np.asarray([v for v in range(S1) if v != 0])
     data = CostData.build(
         cams.view(0), geo.CameraArrays(*[a[src_ids] for a in cams]),
-        jnp.asarray(scene.images[0]), jnp.asarray(scene.images[src_ids]))
+        jnp.asarray(scene.images[0]), jnp.asarray(scene.images[src_ids]),
+        sampler_u8=True)
     return scene, data
 
 
@@ -69,7 +70,7 @@ def make_fn(data, variant, B, T):
             idx = y0.astype(jnp.int32) * data.width + x0.astype(jnp.int32)
             if variant == "const-idx":
                 idx = jnp.ones_like(idx)
-            v = jnp.take(quad, idx, axis=0)
+            v = jnp.take(quad, idx, axis=0).astype(jnp.float32)
             top = v[..., 0] * (1.0 - fx) + v[..., 1] * fx
             bot = v[..., 2] * (1.0 - fx) + v[..., 3] * fx
             sv = top * (1.0 - fy) + bot * fy

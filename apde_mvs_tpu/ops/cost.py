@@ -287,6 +287,26 @@ def flat_src_table(data: CostData):
     return data.src_quads.reshape(-1, 4)
 
 
+# Measured v5e row-gather rates (M rows/s) for the two sampling strategies
+# (PERF_NOTES "u8 quads", benchmarks/gather_slice_probe.py): the u8 fast
+# emitter only engages for per-view-sized tables, so per-pixel view slots
+# (flat (S*HW, 4) table) gather ~2.2x slower than all-views evaluation.
+_SLOT_RATE_U8 = 181.0
+_VIEW_RATE_U8 = 390.0
+
+
+def prefer_view_slots(data: CostData, k: int) -> bool:
+    """Static scheduling choice for per-pixel view-subset evaluation: True
+    selects K compacted slot gathers (`ncc_selected`), False all-S-views
+    evaluation with zero-weight masking (`ncc_strong`), whichever samples
+    cheaper. The slot path must cut gather cost by >20% to pay for its
+    per-slot camera gathers and index math (that margin reproduces the
+    round-1 empirical S > 10 gate for f32 tables at K=8)."""
+    if data.src_quads.dtype == jnp.uint8:
+        return k / _SLOT_RATE_U8 < 0.8 * data.num_src / _VIEW_RATE_U8
+    return k < 0.8 * data.num_src
+
+
 def sample_src_flat(data: CostData, tab, base, wx, wy):
     """Bilinear sample from the flat_src_table layout. `base` is the
     view-row offset (view_index * H * W), broadcastable to wx's shape."""

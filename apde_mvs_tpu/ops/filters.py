@@ -152,6 +152,7 @@ class _SweepSetup(NamedTuple):
     sel_valid: jnp.ndarray   # (B, K)
     sel_w: jnp.ndarray       # (B, K) view weights at the slots
     wnorm: jnp.ndarray       # (B,)
+    vw_full: jnp.ndarray     # (B, S) selection-gated weights, all views
 
 
 _MAX_SWEEP_VIEWS = 8
@@ -186,24 +187,37 @@ def _sweep_setup(data: CostData, state: PMState, x, y,
     sel_valid = jnp.take_along_axis(sel, order, -1)
     sel_w = jnp.take_along_axis(vw, order, -1)
     return _SweepSetup(ok, plane_cam, depth, disp, base_line,
-                       order.astype(jnp.int32), sel_valid, sel_w, wnorm)
+                       order.astype(jnp.int32), sel_valid, sel_w, wnorm, vw)
 
 
 def _sweep_cost(data: CostData, setup: _SweepSetup, win: RefWindow, x, y,
                 p_depth, geom: bool, geom_factor, depth_min, depth_max):
-    """Weighted sweep cost at a probe depth (keeps the current normal)."""
-    from .cost import geom_selected, ncc_selected
+    """Weighted sweep cost at a probe depth (keeps the current normal).
+
+    Evaluates either the K compacted view slots or all S views masked by
+    the selection-gated weights — a static choice by measured gather
+    economics (`cost.prefer_view_slots`); both reproduce the reference's
+    selected-views-only weighted sum (APD.cu:2173-2186)."""
+    from .cost import geom_cost, geom_selected, ncc_selected, ncc_strong, \
+        prefer_view_slots
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     n = setup.plane_cam[..., :3]
     wdist = geo.plane_dist_to_origin(data.ref_cam, xf, yf, p_depth, n)
     plane = jnp.concatenate([n, wdist[..., None]], -1)
-    cv = ncc_selected(data, xf, yf, plane, win, setup.sel_idx, setup.sel_valid)
-    if geom:
-        cv = cv + geom_factor * geom_selected(data, xf, yf, plane,
-                                              setup.sel_idx, setup.sel_valid)
-    cv = jnp.where(setup.sel_valid, cv, 0.0)
-    cost = (setup.sel_w * cv).sum(-1) / jnp.maximum(setup.wnorm, 1e-20)
+    if prefer_view_slots(data, setup.sel_idx.shape[1]):
+        cv = ncc_selected(data, xf, yf, plane, win, setup.sel_idx,
+                          setup.sel_valid)
+        if geom:
+            cv = cv + geom_factor * geom_selected(
+                data, xf, yf, plane, setup.sel_idx, setup.sel_valid)
+        cv = jnp.where(setup.sel_valid, cv, 0.0)
+        cost = (setup.sel_w * cv).sum(-1) / jnp.maximum(setup.wnorm, 1e-20)
+    else:
+        cv = ncc_strong(data, xf, yf, plane, win)
+        if geom:
+            cv = cv + geom_factor * geom_cost(data, xf, yf, plane)
+        cost = (setup.vw_full * cv).sum(-1) / jnp.maximum(setup.wnorm, 1e-20)
     cost = jnp.where(setup.wnorm > 0, cost, COST_MAX)
     in_range = (p_depth >= depth_min) & (p_depth <= depth_max)
     return jnp.where(in_range, cost, COST_MAX)

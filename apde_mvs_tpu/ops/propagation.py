@@ -34,7 +34,8 @@ from ..core import geometry as geo
 from ..core.sampling import fetch
 from . import selection
 from .cost import COST_MAX, CostData, GEOM_COST_MAX, geom_cost, \
-    geom_selected, ncc_selected, ncc_strong, precompute_ref_window
+    geom_selected, ncc_selected, ncc_strong, precompute_ref_window, \
+    prefer_view_slots
 from .deformable import WeakRefData, ncc_weak, ncc_weak_selected
 from .state import PMState
 
@@ -212,9 +213,9 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
     # Monte-Carlo-selected views only; views with zero weight contribute
     # nothing in the reference's sums (APD.cu:1405-1412, 988-996). For large
     # source sets the voted views are compacted into at most 8 per-pixel
-    # slots; for small S the per-pixel camera gathers cost more than the
-    # skipped views, so the direct all-views path is kept.
-    use_compact = S > 10
+    # slots; otherwise the direct all-views path samples cheaper (static
+    # choice by measured gather economics, cost.prefer_view_slots).
+    use_compact = prefer_view_slots(data, 8)
     if use_compact:
         K = 8
         voted = vw > 0
@@ -395,7 +396,7 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
     # refinement hypotheses are weighted sums over the Monte-Carlo-voted
     # views only (APD.cu:988-996); for large source sets compact the voted
     # views into 8 slots (same scheme + gate as the strong sweep)
-    if S > 10:
+    if prefer_view_slots(data, 8):
         voted = vw > 0
         slot_idx = jnp.argsort(~voted, axis=-1,
                                stable=True)[:, :8].astype(jnp.int32)

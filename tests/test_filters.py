@@ -120,6 +120,39 @@ def test_depth_to_weak_classifies_textured_as_strong():
     assert (np.asarray(weak_bad) == STRONG).mean() < frac_strong * 0.5
 
 
+def test_sweep_cost_slot_and_all_views_paths_agree(monkeypatch):
+    """The two static _sweep_cost strategies (K view slots vs all-S-views
+    with zero-weight masking) must produce the same classification curve."""
+    from apde_mvs_tpu.ops import cost as cost_ops
+    scene = synthetic.make_scene(num_views=5, height=48, width=64)
+    data = _data(scene)
+    h, w, S = 48, 64, 4
+    rng = np.random.default_rng(9)
+    state = PMState.create(h, w, S)
+    planes = np.zeros((h, w, 4), np.float32)
+    planes[..., 3] = scene.depths[0]
+    planes[..., :3] = scene.normals[0]
+    sel = rng.random((h, w, S)) > 0.4
+    sel[..., 0] |= ~sel.any(-1)              # every pixel selects >= 1 view
+    vw = np.where(sel, rng.integers(1, 6, (h, w, S)), 0).astype(np.float32)
+    state = state.replace(planes=jnp.asarray(planes),
+                          selected=jnp.asarray(sel),
+                          view_weights=jnp.asarray(vw))
+    ys, xs = np.mgrid[10:38, 10:54]
+    x = jnp.asarray(xs.reshape(-1), jnp.int32)
+    y = jnp.asarray(ys.reshape(-1), jnp.int32)
+    curves = {}
+    for choice in (True, False):
+        monkeypatch.setattr(cost_ops, "prefer_view_slots",
+                            lambda data, k, _c=choice: _c)
+        weak, curve = filters.depth_to_weak(
+            data, state, x, y, jnp.int32(6), False, False, jnp.float32(0.2),
+            jnp.float32(2.0), jnp.float32(8.0), return_curve=True)
+        curves[choice] = (np.asarray(weak), np.asarray(curve))
+    np.testing.assert_allclose(curves[True][1], curves[False][1], atol=1e-4)
+    assert (curves[True][0] != curves[False][0]).mean() < 0.01
+
+
 def test_local_refine_pulls_depth_back():
     scene = synthetic.make_scene(num_views=4, height=48, width=64)
     data = _data(scene)

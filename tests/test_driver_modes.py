@@ -48,6 +48,22 @@ def test_no_fuse_then_fuse(tmp_path):
 
 
 @pytest.mark.slow
+def test_f32_sampler_oracle_path(tmp_path):
+    """The exact f32 quad oracle (--sampler f32) reconstructs end-to-end;
+    covers the non-default branch of every sampling dispatch."""
+    scene = synthetic.make_scene(num_views=3, height=48, width=64)
+    root = tmp_path / "scan"
+    synthetic.write_scene_to_disk(scene, root)
+    driver.run_scan(root, dataset="General", use_sa=False, weak_filter=True,
+                    pyramid_base=32, sampler_u8=False)
+    depth = binmat.read_bin_mat(root / "APD" / "00000001" / "depths.bin")
+    gt = scene.depths[1]
+    ok = (depth > 0) & (gt > 0)
+    rel = np.abs(depth - gt)[ok] / gt[ok]
+    assert np.median(rel) < 0.05
+
+
+@pytest.mark.slow
 def test_sa_mask_path(tmp_path):
     """Scan with synthetic SA masks: the weak-region plane becomes its own
     segment so the SA-gated NCC windows and anchor gating run e2e."""

@@ -45,7 +45,8 @@ class ScenePassInputs(NamedTuple):
     """One pass's inputs for all views. Leading dims: M+1 = image-table
     slots (replicated), Vp = mesh-padded problem count (view-sharded)."""
 
-    images: jnp.ndarray        # (M+1, H, W) f32, slot M = dummy zeros
+    images: jnp.ndarray        # (M+1, H, W) u8 (u8 sampler) or f32,
+                               #   slot M = dummy zeros
     cam_K: jnp.ndarray         # (M+1, 3, 3)
     cam_R: jnp.ndarray         # (M+1, 3, 3)
     cam_t: jnp.ndarray         # (M+1, 3)
@@ -116,10 +117,15 @@ def _pass_body(scene: ScenePassInputs, ransac_threshold, weak_peak_radius,
         src_imgs = scene.images[pair_row]            # (S, H, W)
         ref_img = scene.images[ref]
         if cfg.sampler_u8:
-            # u8 quads (core.sampling): ~2.4x gather rate; ref image is
-            # rounded so both sides share the integer photometric grid
-            quads = jax.vmap(pack_bilinear_u8)(src_imgs)
-            ref_img = jnp.clip(jnp.round(ref_img), 0.0, 255.0)
+            # u8 quads (core.sampling): ~2.4x gather rate. The image table
+            # is already u8 (rounded once host-side, _RoundData) so both
+            # sides share the integer photometric grid and the replicated
+            # table costs 1 byte/px/view.
+            quads = jax.vmap(pack_bilinear)(src_imgs) \
+                if src_imgs.dtype == jnp.uint8 \
+                else jax.vmap(pack_bilinear_u8)(src_imgs)
+            ref_img = jnp.clip(jnp.round(ref_img.astype(jnp.float32)),
+                               0.0, 255.0)
         else:
             quads = jax.vmap(pack_bilinear)(src_imgs)
         if geom_or_apd:

@@ -51,7 +51,7 @@ class _RoundData:
     """
 
     def __init__(self, problems: List[Problem], scale_size: int, cache,
-                 n_devices: int, scan_ref_ids=None):
+                 n_devices: int, scan_ref_ids=None, sampler_u8: bool = True):
         from ..parallel.scene import dummy_camera
 
         self.scale_size = scale_size
@@ -76,9 +76,14 @@ class _RoundData:
         self.ph, self.pw = images[0].shape
         dK, dR, dt, dc = dummy_camera(cams[0].K.astype(np.float32))
         pad_n = Mp - M + 1          # table pad rows + the dummy slot Mp
-        self.images = np.concatenate(
+        table = np.concatenate(
             [np.stack(images),
              np.zeros((pad_n, self.ph, self.pw), np.float32)])
+        # under the u8 sampler the whole replicated table stores u8 (the
+        # same integer grid the quad pack would round to): 4x less HBM per
+        # device, the binding constraint for TaT-scale view counts
+        self.images = np.clip(np.round(table), 0, 255).astype(np.uint8) \
+            if sampler_u8 else table
         self.cam_K = np.concatenate(
             [np.stack([c.K for c in cams]).astype(np.float32),
              np.repeat(dK[None], pad_n, 0)])
@@ -185,7 +190,8 @@ class ViewParallelRunner:
                             if k[0] == spec.scale_size}
             self._rounds[key] = _RoundData(
                 batch, spec.scale_size, self.cache, n_dev,
-                scan_ref_ids=[p.ref_image_id for p in self.problems])
+                scan_ref_ids=[p.ref_image_id for p in self.problems],
+                sampler_u8=bool(spec.params.sampler_u8))
         return self._rounds[key]
 
     def _load_prior(self, problem: Problem, name: str, rd: _RoundData,

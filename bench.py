@@ -61,26 +61,35 @@ def main():
     state = setup(data, key)
     jax.block_until_ready(state.costs)
 
+    # iterations run under lax.scan inside ONE program, matching the
+    # production engine (pipeline/patchmatch._jit_iterations) — separate
+    # per-sweep dispatches through the remote tunnel add ~20% dead time
+    # that the real engine does not pay
+    iters = 6
+
     @jax.jit
-    def sweep(data, state, key):
-        def color_sweep(state, inp):
-            color, kc = inp
-            return propagate_strong(data, state, cfg, 0, kc, color, dmin,
-                                    dmax, jnp.float32(0.2)), None
-        kcs = jax.random.split(key, 2)
-        state, _ = jax.lax.scan(color_sweep, state, (jnp.arange(2), kcs))
+    def sweep_iters(data, state, key):
+        def iteration(state, k_it):
+            def color_sweep(state, inp):
+                color, kc = inp
+                return propagate_strong(data, state, cfg, 0, kc, color,
+                                        dmin, dmax, jnp.float32(0.2)), None
+            kcs = jax.random.split(k_it, 2)
+            state, _ = jax.lax.scan(color_sweep, state,
+                                    (jnp.arange(2), kcs))
+            return state, None
+        state, _ = jax.lax.scan(iteration, state,
+                                jax.random.split(key, iters))
         return state
 
     # warmup/compile
-    state = sweep(data, state, key)
+    state = sweep_iters(data, state, key)
     jax.block_until_ready(state.costs)
 
-    iters = 6
+    key, k = jax.random.split(key)
     t0 = time.perf_counter()
-    for i in range(iters):
-        key, k = jax.random.split(key)
-        state = sweep(data, state, k)
-    jax.block_until_ready(state.costs)
+    state = sweep_iters(data, state, k)
+    _ = np.asarray(state.costs[0, 0])   # readback forces completion
     dt = time.perf_counter() - t0
 
     hypotheses_per_sweep = height * width * 14  # both colors together

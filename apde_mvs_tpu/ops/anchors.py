@@ -191,51 +191,64 @@ def gen_anchors(key, data, state: PMState, weak_x, weak_y, weak_valid,
     xf = weak_x.astype(jnp.float32)
     yf = weak_y.astype(jnp.float32)
 
-    dirs = jnp.asarray(_direction_table(rotate_time))       # (D, 2)
-    D = dirs.shape[0]
-    radii = jnp.asarray(_radius_schedule(radius_budget), jnp.float32)  # (R,)
-    Rn = radii.shape[0]
+    dirs_np = np.asarray(_direction_table(rotate_time), np.float32)  # (D, 2)
+    D = dirs_np.shape[0]
+    radii_np = np.asarray(_radius_schedule(radius_budget), np.float32)
+    Rn = radii_np.shape[0]
     angle = 45.0 / rotate_time
     cone_cos = math.cos(math.radians(angle / 2.0))
     shift_range = max(int(math.tan(math.radians(angle / 2.0)) * 20), 1)
 
-    key, k_shift = jax.random.split(key)
-    shifts = jax.random.randint(
-        k_shift, (Nw, D, Rn, jitter_samples, 2), -shift_range + 1, shift_range
-    ).astype(jnp.float32)
+    # Flat probe layout: every (direction, radius, jitter) probe of a pixel
+    # lives in ONE minor axis of length D*Rn*J (jitter innermost, radius
+    # next — the reference's first-hit scan order). 4/5-D probe tensors
+    # with tiny minor dims tile-pad catastrophically on TPU ((..., 19, 4)
+    # lays out as (..., 24, 128): 32x memory, OOM at the 65536 weak-cap
+    # bucket); 2-D (Nw, D*Rn*J) shapes pad negligibly.
+    J = jitter_samples
+    DRJ = D * Rn * J
+    flat = np.arange(DRJ)
+    d_of = flat // (Rn * J)
+    r_of = (flat // J) % Rn
+    dirx_f = jnp.asarray(dirs_np[d_of, 0])              # (DRJ,) broadcast
+    diry_f = jnp.asarray(dirs_np[d_of, 1])
+    rad_f = jnp.asarray(radii_np[r_of])
 
-    probe_dir = dirs[None, :, None, None, :] * 20.0 + shifts   # (Nw,D,R,J,2)
-    probe_dir = probe_dir / jnp.maximum(
-        jnp.linalg.norm(probe_dir, axis=-1, keepdims=True), 1e-20)
-    rad = radii[None, None, :, None, None]
-    px = (xf[:, None, None, None] + probe_dir[..., 0] * rad[..., 0]
-          ).astype(jnp.int32)
-    py = (yf[:, None, None, None] + probe_dir[..., 1] * rad[..., 0]
-          ).astype(jnp.int32)
+    key, k_sx, k_sy = jax.random.split(key, 3)
+    shift_x = jax.random.randint(
+        k_sx, (Nw, DRJ), -shift_range + 1, shift_range).astype(jnp.float32)
+    shift_y = jax.random.randint(
+        k_sy, (Nw, DRJ), -shift_range + 1, shift_range).astype(jnp.float32)
+    pdx = dirx_f * 20.0 + shift_x
+    pdy = diry_f * 20.0 + shift_y
+    pn = jnp.maximum(jnp.sqrt(pdx * pdx + pdy * pdy), 1e-20)
+    px = (xf[:, None] + pdx / pn * rad_f).astype(jnp.int32)
+    py = (yf[:, None] + pdy / pn * rad_f).astype(jnp.int32)
 
-    # outer expansion stops when the un-jittered test point leaves the image
-    tx = xf[:, None, None] + dirs[None, :, None, 0] * radii[None, None, :]
-    ty = yf[:, None, None] + dirs[None, :, None, 1] * radii[None, None, :]
-    expand_ok = (tx >= 0) & (ty >= 0) & (tx < w) & (ty < h)    # (Nw, D, R)
-    expand_ok = jnp.cumprod(expand_ok.astype(jnp.int32), axis=-1).astype(bool)
+    # expansion stop: the un-jittered test point at this radius must be in
+    # the image (reference stops the radius expansion there; a ray from an
+    # interior pixel leaves the convex image monotonically, so the
+    # cumulative stop reduces to a per-radius bounds test)
+    tx = xf[:, None] + dirx_f * rad_f
+    ty = yf[:, None] + diry_f * rad_f
+    expand_ok = (tx >= 0) & (ty >= 0) & (tx < w) & (ty < h)   # (Nw, DRJ)
 
     probe_ok = (px >= min_margin) & (py >= min_margin) \
-        & (px < w - min_margin) & (py < h - min_margin) \
-        & expand_ok[..., None]
-    snap = fetch(nearest_strong, jnp.maximum(px, 0), jnp.maximum(py, 0))
-    sx = snap[..., 0]
-    sy = snap[..., 1]
+        & (px < w - min_margin) & (py < h - min_margin) & expand_ok
+    pxc = jnp.maximum(px, 0)
+    pyc = jnp.maximum(py, 0)
+    sx = fetch(nearest_strong[..., 0], pxc, pyc)
+    sy = fetch(nearest_strong[..., 1], pxc, pyc)
     probe_ok &= (sx >= 0) & (sy >= 0)
     # angular cone acceptance against the ORIGIN direction
-    vx = sx.astype(jnp.float32) - xf[:, None, None, None]
-    vy = sy.astype(jnp.float32) - yf[:, None, None, None]
+    vx = sx.astype(jnp.float32) - xf[:, None]
+    vy = sy.astype(jnp.float32) - yf[:, None]
     vn = jnp.maximum(jnp.sqrt(vx * vx + vy * vy), 1e-20)
-    cosang = (vx * dirs[None, :, None, None, 0]
-              + vy * dirs[None, :, None, None, 1]) / vn
+    cosang = (vx * dirx_f + vy * diry_f) / vn
     probe_ok &= cosang > cone_cos
 
     # first accepted probe per direction (radius-major, then jitter order)
-    flat_ok = probe_ok.reshape(Nw, D, Rn * jitter_samples)
+    flat_ok = probe_ok.reshape(Nw, D, Rn * J)
     first = jnp.argmax(flat_ok, axis=-1)
     found = flat_ok.any(-1)
     fx = jnp.take_along_axis(sx.reshape(Nw, D, -1), first[..., None], -1)[..., 0]

@@ -29,19 +29,32 @@ def pack_bilinear(img: jnp.ndarray) -> jnp.ndarray:
     return quad.reshape(-1, 4)
 
 
-def bilinear_sample_packed(quad: jnp.ndarray, width: int, height: int, x, y):
-    """Bilinear sample from a pack_bilinear[_u8]() layout. x, y any shape."""
+def quad_coords(width: int, height: int, x, y):
+    """Shared clamp/floor/fraction decomposition for quad-table sampling.
+
+    Returns (row_index, fx, fy); every quad-layout sampler (per-view table,
+    flat multi-view table) must route through this + lerp_quad_rows so the
+    two paths cannot drift."""
     x = jnp.clip(x, 0.0, width - 1.0)
     y = jnp.clip(y, 0.0, height - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    idx = (y0.astype(jnp.int32) * width + x0.astype(jnp.int32))
-    v = jnp.take(quad, idx, axis=0).astype(jnp.float32)  # (..., 4)
-    top = v[..., 0] * (1.0 - fx[..., 0]) + v[..., 1] * fx[..., 0]
-    bot = v[..., 2] * (1.0 - fx[..., 0]) + v[..., 3] * fx[..., 0]
-    return top * (1.0 - fy[..., 0]) + bot * fy[..., 0]
+    idx = y0.astype(jnp.int32) * width + x0.astype(jnp.int32)
+    return idx, x - x0, y - y0
+
+
+def lerp_quad_rows(rows: jnp.ndarray, fx, fy):
+    """Bilinear lerp of gathered (..., 4) quad rows [v00, v01, v10, v11]."""
+    v = rows.astype(jnp.float32)
+    top = v[..., 0] * (1.0 - fx) + v[..., 1] * fx
+    bot = v[..., 2] * (1.0 - fx) + v[..., 3] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def bilinear_sample_packed(quad: jnp.ndarray, width: int, height: int, x, y):
+    """Bilinear sample from a pack_bilinear[_u8]() layout. x, y any shape."""
+    idx, fx, fy = quad_coords(width, height, x, y)
+    return lerp_quad_rows(jnp.take(quad, idx, axis=0), fx, fy)
 
 
 def bilinear_sample(img: jnp.ndarray, x, y):

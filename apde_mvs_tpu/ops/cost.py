@@ -26,8 +26,8 @@ import numpy as np
 from flax import struct
 
 from ..core import geometry as geo
-from ..core.sampling import bilinear_sample_packed, fetch, pack_bilinear, \
-    pack_bilinear_u8, texel_fetch
+from ..core.sampling import bilinear_sample_packed, fetch, lerp_quad_rows, \
+    pack_bilinear, pack_bilinear_u8, quad_coords, texel_fetch
 
 COST_MAX = 2.0
 GEOM_COST_MAX = 3.0
@@ -309,18 +309,10 @@ def prefer_view_slots(data: CostData, k: int) -> bool:
 
 def sample_src_flat(data: CostData, tab, base, wx, wy):
     """Bilinear sample from the flat_src_table layout. `base` is the
-    view-row offset (view_index * H * W), broadcastable to wx's shape."""
-    wx = jnp.clip(wx, 0.0, data.width - 1.0)
-    wy = jnp.clip(wy, 0.0, data.src_h - 1.0)
-    x0 = jnp.floor(wx)
-    y0 = jnp.floor(wy)
-    fx = wx - x0
-    fy = wy - y0
-    rows = jnp.take(tab, base + y0.astype(jnp.int32) * data.width
-                    + x0.astype(jnp.int32), axis=0).astype(jnp.float32)
-    top = rows[..., 0] * (1 - fx) + rows[..., 1] * fx
-    bot = rows[..., 2] * (1 - fx) + rows[..., 3] * fx
-    return top * (1 - fy) + bot * fy
+    view-row offset (view_index * H * W), broadcastable to wx's shape.
+    Same clamp/floor/lerp as bilinear_sample_packed (shared helpers)."""
+    idx, fx, fy = quad_coords(data.width, data.src_h, wx, wy)
+    return lerp_quad_rows(jnp.take(tab, base + idx, axis=0), fx, fy)
 
 
 def ncc_selected(data: CostData, x, y, plane, win: RefWindow, sel_idx,

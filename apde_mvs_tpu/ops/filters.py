@@ -197,7 +197,11 @@ def _sweep_cost(data: CostData, setup: _SweepSetup, win: RefWindow, x, y,
     Evaluates either the K compacted view slots or all S views masked by
     the selection-gated weights — a static choice by measured gather
     economics (`cost.prefer_view_slots`); both reproduce the reference's
-    selected-views-only weighted sum (APD.cu:2173-2186)."""
+    selected-views-only weighted sum (APD.cu:2173-2186) provided sweep_k
+    covers the max per-pixel selection count (callers guarantee this via
+    _sweep_view_bucket). If a pixel ever selects more views than the slots
+    hold, the slot path normalizes by the kept slots' weight sum — a
+    consistent weighted mean over the kept views, not a biased-low sum."""
     from .cost import geom_cost, geom_selected, ncc_selected, ncc_strong, \
         prefer_view_slots
     xf = x.astype(jnp.float32)
@@ -212,7 +216,8 @@ def _sweep_cost(data: CostData, setup: _SweepSetup, win: RefWindow, x, y,
             cv = cv + geom_factor * geom_selected(
                 data, xf, yf, plane, setup.sel_idx, setup.sel_valid)
         cv = jnp.where(setup.sel_valid, cv, 0.0)
-        cost = (setup.sel_w * cv).sum(-1) / jnp.maximum(setup.wnorm, 1e-20)
+        kept = (setup.sel_w * setup.sel_valid).sum(-1)
+        cost = (setup.sel_w * cv).sum(-1) / jnp.maximum(kept, 1e-20)
     else:
         cv = ncc_strong(data, xf, yf, plane, win)
         if geom:

@@ -87,12 +87,6 @@ _REGIONS = [
     _near_offsets("x", -1), _far_offsets("x", -1),
     _near_offsets("x", +1), _far_offsets("x", +1),
 ]
-_MAX_REGION = max(len(r) for r in _REGIONS)
-_REGION_OFFSETS = np.zeros((8, _MAX_REGION, 2), np.int32)
-_REGION_LEN = np.zeros((8,), np.int32)
-for _r, _offs in enumerate(_REGIONS):
-    _REGION_LEN[_r] = len(_offs)
-    _REGION_OFFSETS[_r, :len(_offs)] = np.asarray(_offs)
 
 
 def checkerboard_candidates(costs: jnp.ndarray, x, y, row_bounds=None
@@ -107,24 +101,31 @@ def checkerboard_candidates(costs: jnp.ndarray, x, y, row_bounds=None
     `row_bounds=(lo, hi)` restricts valid rows to [lo, hi] — used by the
     halo-exchanged tile sweep, where the local array extends past the global
     image rows and the out-of-image halo must invalidate regions exactly as
-    array bounds do in the unsharded sweep."""
+    array bounds do in the unsharded sweep.
+
+    Layout note: regions are evaluated one at a time in REGION-MAJOR (M, B)
+    shape. A fused (B, 8, M) formulation puts (8, 11) on the tiled minor
+    dims, which XLA:TPU lays out as T(8,128) — 11 lanes padded to 128 and
+    every region's gather output live at once: 25 GB of temp at 6 MP
+    (measured; an OOM at full ETH3D resolution). Region-major keeps B on
+    the lane dim (no padding) and one region's gather live at a time:
+    2.4 GB temp at the same size."""
     h, w = costs.shape
-    offs = jnp.asarray(_REGION_OFFSETS)            # (8, M, 2)
-    px = x[:, None, None] + offs[None, :, :, 0]     # (B, 8, M)
-    py = y[:, None, None] + offs[None, :, :, 1]
-    inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-    if row_bounds is not None:
-        inb &= (py >= row_bounds[0]) & (py <= row_bounds[1])
-    length_mask = (jnp.arange(_MAX_REGION)[None, None, :]
-                   < jnp.asarray(_REGION_LEN)[None, :, None])
-    usable = inb & length_mask
-    c = fetch(costs, px, py, fill=0.0)
-    c = jnp.where(usable, c, jnp.inf)
-    best = jnp.argmin(c, axis=-1)                   # first min (strict <)
-    cand_x = jnp.take_along_axis(px, best[..., None], -1)[..., 0]
-    cand_y = jnp.take_along_axis(py, best[..., None], -1)[..., 0]
-    flags = usable[..., 0]                          # base position validity
-    return cand_x, cand_y, flags
+    cxs, cys, fls = [], [], []
+    for r in range(8):
+        offs = np.asarray(_REGIONS[r], np.int32)    # (M_r, 2), exact length
+        px = x[None, :] + jnp.asarray(offs[:, 0])[:, None]   # (M, B)
+        py = y[None, :] + jnp.asarray(offs[:, 1])[:, None]
+        inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        if row_bounds is not None:
+            inb &= (py >= row_bounds[0]) & (py <= row_bounds[1])
+        c = fetch(costs, px, py, fill=0.0)
+        c = jnp.where(inb, c, jnp.inf)
+        best = jnp.argmin(c, axis=0)                # first min (strict <)
+        cxs.append(jnp.take_along_axis(px, best[None, :], 0)[0])
+        cys.append(jnp.take_along_axis(py, best[None, :], 0)[0])
+        fls.append(inb[0])                          # base position validity
+    return jnp.stack(cxs, -1), jnp.stack(cys, -1), jnp.stack(fls, -1)
 
 
 def last_min_index(vals: jnp.ndarray) -> jnp.ndarray:
@@ -212,17 +213,26 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
     # current plane + refinement hypotheses are weighted sums over the
     # Monte-Carlo-selected views only; views with zero weight contribute
     # nothing in the reference's sums (APD.cu:1405-1412, 988-996). For large
-    # source sets the voted views are compacted into at most 8 per-pixel
-    # slots; otherwise the direct all-views path samples cheaper (static
-    # choice by measured gather economics, cost.prefer_view_slots).
-    use_compact = prefer_view_slots(data, 8)
+    # source sets the voted views are compacted into per-pixel slots;
+    # otherwise the direct all-views path samples cheaper (static choice by
+    # measured gather economics, cost.prefer_view_slots). Capacity must
+    # cover every possible distinct vote (NUM_SAMPLES draws) — a smaller cap
+    # would drop views from the numerator while inv_norm still counts their
+    # votes, biasing slot-path costs low vs the all-views sums.
+    K = min(S, selection.NUM_SAMPLES)
+    use_compact = prefer_view_slots(data, K)
     if use_compact:
-        K = 8
         voted = vw > 0
         slot_idx = jnp.argsort(~voted, axis=-1,
                                stable=True)[:, :K].astype(jnp.int32)
         slot_valid = jnp.take_along_axis(voted, slot_idx, -1)
         slot_w = jnp.take_along_axis(vw, slot_idx, -1)
+
+        # normalize by the KEPT slots' weight sum: equal to wnorm whenever
+        # every voted view fits (guaranteed by K = NUM_SAMPLES), and a
+        # consistent weighted mean rather than a biased-low sum otherwise
+        kept = (slot_w * slot_valid).sum(-1)
+        inv_kept = jnp.where(kept > 0, 1.0 / jnp.maximum(kept, 1e-20), 0.0)
 
         def weighted_cost(plane):
             cv = ncc_selected(data, xf, yf, plane, win, slot_idx, slot_valid)
@@ -230,7 +240,7 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
                 cv = cv + geom_factor * geom_selected(data, xf, yf, plane,
                                                       slot_idx, slot_valid)
             cv = jnp.where(slot_valid, cv, 0.0)
-            return (slot_w * cv).sum(-1) * inv_norm
+            return (slot_w * cv).sum(-1) * inv_kept
     else:
         def weighted_cost(plane):
             cv = ncc_strong(data, xf, yf, plane, win)
@@ -395,13 +405,19 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
 
     # refinement hypotheses are weighted sums over the Monte-Carlo-voted
     # views only (APD.cu:988-996); for large source sets compact the voted
-    # views into 8 slots (same scheme + gate as the strong sweep)
-    if prefer_view_slots(data, 8):
+    # views into slots (same scheme + gate as the strong sweep; capacity
+    # NUM_SAMPLES so every possible distinct vote fits — see the strong
+    # sweep's comment on the numerator/denominator mismatch otherwise)
+    K = min(data.num_src, selection.NUM_SAMPLES)
+    if prefer_view_slots(data, K):
         voted = vw > 0
         slot_idx = jnp.argsort(~voted, axis=-1,
-                               stable=True)[:, :8].astype(jnp.int32)
+                               stable=True)[:, :K].astype(jnp.int32)
         slot_valid = jnp.take_along_axis(voted, slot_idx, -1)
         slot_w = jnp.take_along_axis(vw, slot_idx, -1)
+
+        kept = (slot_w * slot_valid).sum(-1)
+        inv_kept = jnp.where(kept > 0, 1.0 / jnp.maximum(kept, 1e-20), 0.0)
 
         def eval_plane(plane_i):
             cv = ncc_weak_selected(data, wref, plane_i, cfg, slot_idx,
@@ -410,7 +426,7 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
                 cv = cv + geom_factor * geom_selected(data, xf, yf, plane_i,
                                                       slot_idx, slot_valid)
             cv = jnp.where(slot_valid, cv, 0.0)
-            return (slot_w * cv).sum(-1) * inv_norm
+            return (slot_w * cv).sum(-1) * inv_kept
     else:
         def eval_plane(plane_i):
             cv = ncc_weak(data, wref, plane_i, cfg)

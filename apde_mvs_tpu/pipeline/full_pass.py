@@ -40,7 +40,11 @@ class PassStatic(NamedTuple):
     radius_budget: int
     classify_chunk: int
     sweep_k: int = 8       # selected-view slots in classify/refine sweeps
-    sampler_u8: bool = False  # u8 span-tile source sampling (core.sampling)
+    # u8 quad source sampling (core.sampling); defaults True to match
+    # PatchMatchParams.sampler_u8 and _RoundData.sampler_u8 — a mismatch
+    # would drive a u8 image table through the f32 cost path (uint8
+    # ref-image products wrap mod 256)
+    sampler_u8: bool = True
 
     @staticmethod
     def from_params(params: PatchMatchParams, nw_cap: int,

@@ -195,12 +195,16 @@ def _sweep_view_bucket(max_selected: int, num_src: int) -> int:
     """Static slot count for the classify/refine view compaction: the sweeps
     cost linearly in the slot count, and the per-pixel selection rarely
     exceeds top_k (4), so sweeping the historical fixed 8 slots doubled the
-    classification cost for nothing. Bucketed so at most 3 kernel variants
-    compile."""
-    for b in (2, 4, 8):
+    classification cost for nothing. Bucketed so few kernel variants
+    compile. The bucket must COVER max_selected: a cap below it would drop
+    selected views from the slot numerator while wnorm still counts their
+    weights, biasing sweep costs low (and _sweep_cost's slot/all-views
+    paths would disagree); pixels can select up to NUM_SAMPLES (15)
+    distinct views via Monte-Carlo selection, more on initial-cost ties."""
+    for b in (2, 4, 8, 16, 32):
         if max_selected <= b:
             return min(b, max(num_src, 1))
-    return min(8, num_src)
+    return max(num_src, 1)
 
 
 @functools.lru_cache(maxsize=64)

@@ -287,9 +287,16 @@ class ViewParallelRunner:
             for e, vid in enumerate(rd.ext_ids):
                 ext_depth[e] = self._load_prior(by_ref[vid], "depths.bin", rd)
 
+        # sweep_k must cover the max possible per-pixel selection count
+        # (NUM_SAMPLES Monte-Carlo votes) — the traced pass cannot inspect
+        # the actual max the way the serial engine's _sweep_view_bucket
+        # does, so it takes the conservative capacity; prefer_view_slots
+        # then decides slot-vs-all-views economics per table dtype
+        from ..ops.selection import NUM_SAMPLES
         pass_cfg = PassStatic.from_params(
             params, nw_cap=cap if use_apd else 0,
-            radius_budget=self.radius_budget)
+            radius_budget=self.radius_budget,
+            sweep_k=min(rd.S, NUM_SAMPLES))
         mesh = self.mesh if self.mesh is not None \
             else make_mesh(num_devices=rd.n_mesh)
         step = build_sharded_full_pass(

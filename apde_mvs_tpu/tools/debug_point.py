@@ -28,6 +28,10 @@ def main(argv=None) -> int:
                    help="pyramid scale_size to inspect at")
     p.add_argument("--geom", action="store_true",
                    help="include geometric-consistency costs")
+    p.add_argument("--sampler", choices=("u8", "f32"), default="u8",
+                   help="sampling-table dtype; must match what the engine "
+                        "ran with (cli defaults to u8) or the printed costs "
+                        "will not reproduce the engine's")
     args = p.parse_args(argv)
 
     import jax
@@ -75,7 +79,8 @@ def main(argv=None) -> int:
     data = CostData.build(
         cams.view(0), geo.CameraArrays(*[a[1:] for a in cams]),
         jnp.asarray(ref_img), jnp.asarray(np.stack([s[0] for s in src])),
-        src_depths=src_depths, real_width=w, real_height=h)
+        src_depths=src_depths, real_width=w, real_height=h,
+        sampler_u8=(args.sampler == "u8"))
 
     state_names = {0: "WEAK", 1: "STRONG", 2: "UNKNOWN"}
     print(f"pixel ({x}, {y}) of view {args.view} at scale 1/{args.scale}:")

@@ -27,10 +27,13 @@ B, T = 240000, 36          # one color half x 36 taps (bench shapes)
 
 
 def chain(tab, idx, loops):
+    # consume EVERY gathered column: summing only [..., :4] would let
+    # XLA narrow the gather's slice_sizes for wide rows and the probe
+    # would no longer measure full-row gathers
     acc = jnp.zeros((B, T), jnp.float32)
     for _ in range(loops):
         v = jnp.take(tab, idx, axis=0)
-        s = v[..., :4].astype(jnp.float32).sum(-1)
+        s = v.astype(jnp.float32).sum(-1)
         idx = (idx + s.astype(jnp.int32)) % HW
         acc = acc + s
     return acc

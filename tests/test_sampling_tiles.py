@@ -10,8 +10,8 @@ import numpy as np
 from apde_mvs_tpu.core import geometry as geo
 from apde_mvs_tpu.core.sampling import bilinear_sample_packed, \
     pack_bilinear, pack_bilinear_u8
-from apde_mvs_tpu.ops.cost import CostData, initial_cost_and_selection, \
-    ncc_selected, ncc_strong, precompute_ref_window
+from apde_mvs_tpu.ops.cost import CostData, ncc_selected, ncc_strong, \
+    precompute_ref_window
 from apde_mvs_tpu.testing import synthetic
 
 

@@ -61,14 +61,30 @@ _FILTER_Y_GT2[[16, 17]] = True   # (-1,-2) and (1,-2)
 
 
 def _masked_median(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Median over the valid entries along -1 (even count averages the two
-    middles, as in the reference's sort_small + index math)."""
-    big = jnp.where(valid, vals, jnp.inf)
-    s = jnp.sort(big, axis=-1)
-    n = valid.sum(-1)
+    """Median over the valid entries along axis 0 (even count averages the
+    two middles, as in the reference's sort_small + index math).
+
+    Layout note: vals is TAP-MAJOR (T, B). A (B, T) layout puts T=21 on the
+    TPU lane dimension, padded to 128 (6x memory); and XLA:TPU's sort
+    primitive multiplies padded temps enough to OOM a 6 MP color half EVEN
+    tap-major. So the sort is an odd-even transposition network over a
+    Python list of (B,) rows — pure fusable min/max, ~T^2/2 compare-swaps
+    (T=21), no sort primitive, no padding."""
+    T = vals.shape[0]
+    rows = [jnp.where(valid[i], vals[i], jnp.inf) for i in range(T)]
+    for rnd in range(T):
+        for i in range(rnd % 2, T - 1, 2):
+            lo = jnp.minimum(rows[i], rows[i + 1])
+            hi = jnp.maximum(rows[i], rows[i + 1])
+            rows[i], rows[i + 1] = lo, hi
+    n = valid.sum(0)
     mid = n // 2
-    lo = jnp.take_along_axis(s, jnp.maximum(mid - 1, 0)[..., None], -1)[..., 0]
-    hi = jnp.take_along_axis(s, mid[..., None], -1)[..., 0]
+    mid_lo = jnp.maximum(mid - 1, 0)
+    lo = jnp.zeros_like(rows[0])
+    hi = jnp.zeros_like(rows[0])
+    for i in range(T):
+        lo = jnp.where(mid_lo == i, rows[i], lo)
+        hi = jnp.where(mid == i, rows[i], hi)
     return jnp.where(n % 2 == 0, 0.5 * (lo + hi), hi)
 
 
@@ -85,20 +101,21 @@ def median_filter_color(state: PMState, color: int) -> PMState:
     valid_c = cb.gather_color(state.valid, color).reshape(-1)
     active = (weak_c != WEAK) & (cost_c >= 0.001) & valid_c
 
-    offs = jnp.asarray(_FILTER_OFFSETS)
-    nx = x[:, None] + offs[None, :, 0]
-    ny = y[:, None] + offs[None, :, 1]
+    offs = jnp.asarray(_FILTER_OFFSETS)                 # (T, 2)
+    nx = x[None, :] + offs[:, 0][:, None]               # (T, B) tap-major
+    ny = y[None, :] + offs[:, 1][:, None]
     inb = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
     # reference quirk: the (-1,-2)/(1,-2) taps additionally require p.y > 2
     # (APD.cu:1798-1804), one row stricter than the bounds check
-    strict = jnp.asarray(_FILTER_Y_GT2)[None, :]
-    inb = inb & (~strict | (y[:, None] > 2))
+    strict = jnp.asarray(_FILTER_Y_GT2)[:, None]
+    inb = inb & (~strict | (y[None, :] > 2))
     n_state = fetch(state.weak, nx, ny, fill=UNKNOWN)
     n_depth = fetch(state.planes[..., 3], nx, ny)
     ok = inb & (n_state == STRONG)
     center_d = fetch(state.planes[..., 3], x, y)
-    vals = jnp.concatenate([center_d[:, None], n_depth], axis=1)
-    valid = jnp.concatenate([jnp.ones_like(center_d[:, None], bool), ok], axis=1)
+    vals = jnp.concatenate([center_d[None, :], n_depth], axis=0)
+    valid = jnp.concatenate([jnp.ones_like(center_d[None, :], bool), ok],
+                            axis=0)
     med = _masked_median(vals, valid)
     new_d = jnp.where(active, med, center_d)
     planes = cb.scatter_color(

@@ -22,6 +22,7 @@ Semantic notes carried over deliberately:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -159,25 +160,59 @@ def refinement_hypotheses(key, cam: geo.CameraArrays, x, y, cur_plane,
 
 
 # ---------------------------------------------------------------------------
+# Pixel-chunked sweep execution.
+#
+# A sweep body materializes (B, hyp, S) cost tensors and (B, taps) window
+# intermediates; at full ETH3D resolution (6048x4032 -> B = 12.2M per color)
+# the unchunked working set exceeds v5e HBM. Same-color checkerboard pixels
+# never read each other's state (all candidate/neighbor offsets have odd
+# parity), so the sweep splits into fixed-size pixel chunks under lax.scan
+# with identical semantics. Below the threshold the body runs unchunked and
+# bitwise-matches the historical single-batch behavior (all test scenes and
+# the bench run unchunked; per-chunk PRNG keys fold in the chunk index, so
+# chunked draws differ from unchunked ones statistically-equivalently).
+# ---------------------------------------------------------------------------
+
+_SWEEP_CHUNK = int(os.environ.get("APDE_SWEEP_CHUNK", 1 << 19))
+# the deformable sweep carries (B, anchors=8, taps=36) windows — ~10x the
+# strong sweep's per-pixel footprint — so its chunk is 4x smaller
+_WEAK_SWEEP_CHUNK = int(os.environ.get("APDE_WEAK_SWEEP_CHUNK", 1 << 17))
+
+
+def _run_chunked(body, k_sel, k_ref, arrays, n, chunk=None):
+    """Run `body(k_sel, k_ref, *per_pixel_slices)` over the length-n leading
+    axis of `arrays`, in chunks when n exceeds the sweep-chunk threshold.
+    Returns the body's output tuple, reassembled to length n."""
+    chunk = chunk or _SWEEP_CHUNK
+    if n <= chunk:
+        return body(k_sel, k_ref, *arrays)
+    pad = (-n) % chunk
+    nc = (n + pad) // chunk
+    stacked = [jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+               .reshape((nc, chunk) + a.shape[1:]) for a in arrays]
+
+    def step(ci, slices):
+        outs = body(jax.random.fold_in(k_sel, ci),
+                    jax.random.fold_in(k_ref, ci), *slices)
+        return ci + 1, outs
+
+    _, outs = jax.lax.scan(step, 0, tuple(stacked))
+    return tuple(o.reshape((nc * chunk,) + o.shape[2:])[:n] for o in outs)
+
+
+# ---------------------------------------------------------------------------
 # Strong sweep (one checkerboard color)
 # ---------------------------------------------------------------------------
 
-def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
-                     iteration, key, color: int, depth_min, depth_max,
-                     geom_factor, row_bounds=None) -> PMState:
-    h, w = state.costs.shape
+def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
+                 k_sel, k_ref, x, y, depth_min, depth_max, geom_factor,
+                 row_bounds):
+    """Candidate evaluation + view selection + refinement for one flat batch
+    of same-color pixels. Returns (planes_out, costs_out, sel_new, vw)."""
     S = data.num_src
-    xs2, ys2 = cb.color_coords(h, w, color)
-    x = xs2.reshape(-1)
-    y = ys2.reshape(-1)
-    B = x.shape[0]
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     cam = data.ref_cam
-
-    weak_c = cb.gather_color(state.weak, color).reshape(-1)
-    valid_c = cb.gather_color(state.valid, color).reshape(-1)
-    active = (weak_c != WEAK) & valid_c
 
     cand_x, cand_y, flags = checkerboard_candidates(state.costs, x, y,
                                                     row_bounds)
@@ -203,7 +238,6 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
     nb_valid = flags[:, jnp.asarray([0, 2, 4, 6])]
     priors = selection.view_selection_priors(nb_sel, nb_valid)
     probs = selection.sampling_probabilities(cost_array, priors, iteration)
-    key, k_sel = jax.random.split(key)
     vw, temp_sel, wnorm = selection.monte_carlo_view_weights(k_sel, probs)
     has_views = wnorm > 0
     inv_norm = jnp.where(has_views, 1.0 / jnp.maximum(wnorm, 1e-20), 0.0)
@@ -266,7 +300,6 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
 
     # refinement (5 hypotheses; geom only under impetus gating)
     depth_cur = geo.depth_from_plane(cam, plane_cur, xf, yf)
-    key, k_ref = jax.random.split(key)
     r_depths, r_normals = refinement_hypotheses(
         k_ref, cam, xf, yf, plane_cur, depth_cur, depth_min, depth_max)
 
@@ -296,6 +329,31 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
     else:
         planes_out = plane_cur
         costs_out = cost_cur
+    return planes_out, costs_out, sel_new, vw
+
+
+def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
+                     iteration, key, color: int, depth_min, depth_max,
+                     geom_factor, row_bounds=None) -> PMState:
+    h, w = state.costs.shape
+    xs2, ys2 = cb.color_coords(h, w, color)
+    x = xs2.reshape(-1)
+    y = ys2.reshape(-1)
+    B = x.shape[0]
+
+    weak_c = cb.gather_color(state.weak, color).reshape(-1)
+    valid_c = cb.gather_color(state.valid, color).reshape(-1)
+    active = (weak_c != WEAK) & valid_c
+
+    key, k_sel = jax.random.split(key)
+    key, k_ref = jax.random.split(key)
+
+    def body(ks, kr, xc, yc):
+        return _strong_body(data, state, cfg, iteration, ks, kr, xc, yc,
+                            depth_min, depth_max, geom_factor, row_bounds)
+
+    planes_out, costs_out, sel_new, vw = _run_chunked(
+        body, k_sel, k_ref, (x, y), B)
 
     # scatter back (only active pixels change)
     def put(full, vals_flat, old_flat):
@@ -305,7 +363,7 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
         return cb.scatter_color(full, vals.reshape((h, w // 2) + vals.shape[1:]),
                                 color)
 
-    old_planes = cur_plane
+    old_planes = fetch(state.planes, x, y)
     old_costs = fetch(state.costs, x, y)
     old_sel = fetch(state.selected, x, y)
     old_vw = fetch(state.view_weights, x, y)
@@ -318,22 +376,188 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
 
 
 # ---------------------------------------------------------------------------
+# Host-dispatched sweeps for very large images.
+#
+# One XLA program that runs a whole iteration loop (or even one full-image
+# color sweep) at ETH3D-native scale executes for minutes; the remote TPU
+# worker kills such programs (observed: a ~25 s sweep program runs, a ~80 s
+# one crashes the worker — benchmarks/sweep_size_probe.py). The host-mode
+# drivers dispatch the SAME chunk body as the in-program path, one program
+# per chunk (~15 s each), and commit with a single scatter program. Chunk
+# semantics are identical (same-color pixels are independent); only PRNG
+# draw grouping differs, and the mode is a static function of the shapes.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+def _throttle(outs, window: int = 2):
+    """Bound the device execution queue during host-dispatched chunk loops.
+
+    Dispatch is async and XLA allocates each queued program's outputs and
+    temp arena at enqueue: an unthrottled loop enqueues a whole iteration's
+    worth of ~GB workspaces at once (observed RESOURCE_EXHAUSTED at 6 MP).
+    A tiny HOST READBACK of a finished chunk is the only reliable sync
+    through the remote tunnel (block_until_ready can return early —
+    CLAUDE.md), so sync chunk i-window before dispatching chunk i+1."""
+    if len(outs) >= window:
+        np.asarray(jax.tree_util.tree_leaves(outs[-window])[0].reshape(-1)[:1])
+
+
+@_functools.lru_cache(maxsize=32)
+def _strong_chunk_jit(cfg: PropCfg):
+    def f(data, state, iteration, ks, kr, xc, yc, depth_min, depth_max,
+          geom_factor):
+        return _strong_body(data, state, cfg, iteration, ks, kr, xc, yc,
+                            depth_min, depth_max, geom_factor, None)
+    return jax.jit(f)
+
+
+@_functools.lru_cache(maxsize=32)
+def _strong_commit_jit(cfg: PropCfg):
+    def f(state, color, planes_out, costs_out, sel_new, vw):
+        h, w = state.costs.shape
+        xs2, ys2 = cb.color_coords(h, w, color)
+        x = xs2.reshape(-1)
+        y = ys2.reshape(-1)
+        B = x.shape[0]
+        weak_c = cb.gather_color(state.weak, color).reshape(-1)
+        valid_c = cb.gather_color(state.valid, color).reshape(-1)
+        active = (weak_c != WEAK) & valid_c
+
+        def put(full, vals_flat, old_flat):
+            vals = jnp.where(
+                active.reshape(active.shape + (1,) * (vals_flat.ndim - 1)),
+                vals_flat[:B], old_flat)
+            return cb.scatter_color(
+                full, vals.reshape((h, w // 2) + vals.shape[1:]), color)
+
+        return state.replace(
+            planes=put(state.planes, planes_out, fetch(state.planes, x, y)),
+            costs=put(state.costs, costs_out, fetch(state.costs, x, y)),
+            selected=put(state.selected, sel_new,
+                         fetch(state.selected, x, y)),
+            view_weights=put(state.view_weights, vw,
+                             fetch(state.view_weights, x, y)),
+        )
+    # donate the state: at 6 MP+ each un-donated commit allocates ~0.5 GB of
+    # fresh state arrays per sweep and the allocator churn/fragmentation
+    # eventually fails a large contiguous request (observed wandering
+    # RESOURCE_EXHAUSTED at full-res)
+    return jax.jit(f, static_argnames=("color",), donate_argnums=(0,))
+
+
+def propagate_strong_host(data: CostData, state: PMState, cfg: PropCfg,
+                          iteration, key, color: int, depth_min, depth_max,
+                          geom_factor, chunk=None) -> PMState:
+    """propagate_strong with one device program per pixel chunk (large
+    images). Not usable inside a trace; pipeline code selects it statically
+    by image size."""
+    chunk = chunk or _SWEEP_CHUNK
+    h, w = state.costs.shape
+    # chunk inputs in cb.color_coords order so the commit's (h, w//2)
+    # reshape sees the exact layout the in-program path scatters
+    xs2, ys2 = cb.color_coords(h, w, color)
+    x_np = np.asarray(xs2).reshape(-1)
+    y_np = np.asarray(ys2).reshape(-1)
+    B = x_np.shape[0]
+    key, k_sel = jax.random.split(key)
+    key, k_ref = jax.random.split(key)
+    pad = (-B) % chunk
+    xp = np.pad(x_np, (0, pad)).astype(np.int32)
+    yp = np.pad(y_np, (0, pad)).astype(np.int32)
+    body = _strong_chunk_jit(cfg)
+    outs = []
+    for ci in range(len(xp) // chunk):
+        sl = slice(ci * chunk, (ci + 1) * chunk)
+        outs.append(body(data, state, jnp.asarray(iteration, jnp.int32),
+                         jax.random.fold_in(k_sel, ci),
+                         jax.random.fold_in(k_ref, ci),
+                         jnp.asarray(xp[sl]), jnp.asarray(yp[sl]),
+                         depth_min, depth_max, geom_factor))
+        _throttle(outs)
+    cat = [jnp.concatenate([o[i] for o in outs], axis=0) for i in range(4)]
+    return _strong_commit_jit(cfg)(state, color, *cat)
+
+
+@_functools.lru_cache(maxsize=32)
+def _weak_chunk_jit(cfg: PropCfg):
+    def f(data, state, iteration, ks, kr, xc, yc, anc, fpl, depth_min,
+          depth_max, geom_factor):
+        return _weak_body(data, state, cfg, iteration, ks, kr, xc, yc,
+                          anc, fpl, depth_min, depth_max, geom_factor)
+    return jax.jit(f)
+
+
+@_functools.lru_cache(maxsize=32)
+def _weak_commit_jit():
+    def f(state, weak_x, weak_y, weak_valid, planes_out, costs_out,
+          sel_new, vw):
+        h, w = state.costs.shape
+        x, y = weak_x, weak_y
+        upd = weak_valid & (fetch(state.weak, x, y) == WEAK)
+        flat_idx = jnp.where(weak_valid, y * w + x, h * w)
+
+        def put_flat(full, vals, old):
+            sel = upd.reshape(upd.shape + (1,) * (vals.ndim - 1))
+            merged = jnp.where(sel, vals, old)
+            flat = full.reshape((h * w,) + full.shape[2:])
+            flat = flat.at[flat_idx].set(merged, mode="drop")
+            return flat.reshape(full.shape)
+
+        n = x.shape[0]
+        return state.replace(
+            planes=put_flat(state.planes, planes_out[:n],
+                            fetch(state.planes, x, y)),
+            costs=put_flat(state.costs, costs_out[:n],
+                           fetch(state.costs, x, y)),
+            selected=put_flat(state.selected, sel_new[:n],
+                              fetch(state.selected, x, y)),
+            view_weights=put_flat(state.view_weights, vw[:n],
+                                  fetch(state.view_weights, x, y)),
+        )
+    return jax.jit(f, donate_argnums=(0,))   # see _strong_commit_jit note
+
+
+def propagate_weak_host(data: CostData, state: PMState, cfg: PropCfg,
+                        iteration, key, weak_x, weak_y, weak_valid,
+                        anchors, fit_planes, depth_min, depth_max,
+                        geom_factor, chunk=None) -> PMState:
+    """propagate_weak with one device program per weak-pixel chunk (large
+    weak lists at full resolution)."""
+    chunk = chunk or _WEAK_SWEEP_CHUNK
+    Nw = int(weak_x.shape[0])
+    key, k_sel = jax.random.split(key)
+    key, k_ref = jax.random.split(key)
+    pad = (-Nw) % chunk
+    xp = jnp.pad(weak_x, (0, pad))
+    yp = jnp.pad(weak_y, (0, pad))
+    ap = jnp.pad(anchors, ((0, pad), (0, 0), (0, 0)))
+    fp = jnp.pad(fit_planes, ((0, pad), (0, 0)))
+    body = _weak_chunk_jit(cfg)
+    outs = []
+    for ci in range(int(xp.shape[0]) // chunk):
+        sl = slice(ci * chunk, (ci + 1) * chunk)
+        outs.append(body(data, state, jnp.asarray(iteration, jnp.int32),
+                         jax.random.fold_in(k_sel, ci),
+                         jax.random.fold_in(k_ref, ci),
+                         xp[sl], yp[sl], ap[sl], fp[sl],
+                         depth_min, depth_max, geom_factor))
+        _throttle(outs)
+    cat = [jnp.concatenate([o[i] for o in outs], axis=0) for i in range(4)]
+    return _weak_commit_jit()(state, weak_x, weak_y, weak_valid, *cat)
+
+
+# ---------------------------------------------------------------------------
 # Weak sweep (single fused pass over the compacted weak-pixel list)
 # ---------------------------------------------------------------------------
 
-def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
-                   iteration, key, weak_x, weak_y, weak_valid,
-                   anchors, fit_planes, depth_min, depth_max,
-                   geom_factor) -> PMState:
-    """One weak-pixel sweep.
-
-    weak_x/weak_y: (Nw,) int32 coords (padded entries arbitrary);
-    weak_valid: (Nw,) bool; anchors: (Nw, 9, 2) int32; fit_planes: (Nw, 4)
-    from the per-iteration RANSAC fit (zeros when absent).
-    """
-    h, w = state.costs.shape
+def _weak_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
+               k_sel, k_ref, x, y, anchors, fit_planes, depth_min,
+               depth_max, geom_factor):
+    """Anchor-candidate evaluation + fit-plane test + refinement for one flat
+    batch of weak pixels. Returns (planes_out, costs_out, sel_new, vw)."""
     S = data.num_src
-    x, y = weak_x, weak_y
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     cam = data.ref_cam
@@ -365,7 +589,6 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
     nb_sel = wref.anchor_sel
     priors = selection.view_selection_priors(nb_sel, exists)
     probs = selection.sampling_probabilities(cost_array, priors, iteration)
-    key, k_sel = jax.random.split(key)
     vw, temp_sel, wnorm = selection.monte_carlo_view_weights(k_sel, probs)
     has_views = wnorm > 0
     inv_norm = jnp.where(has_views, 1.0 / jnp.maximum(wnorm, 1e-20), 0.0)
@@ -446,7 +669,6 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
 
     # random refinement
     depth_cur = geo.depth_from_plane(cam, plane_cur, xf, yf)
-    key, k_ref = jax.random.split(key)
     r_depths, r_normals = refinement_hypotheses(
         k_ref, cam, xf, yf, plane_cur, depth_cur, depth_min, depth_max)
 
@@ -475,6 +697,33 @@ def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
     else:
         planes_out = plane_cur
         costs_out = cost_cur
+    return planes_out, costs_out, sel_new, vw
+
+
+def propagate_weak(data: CostData, state: PMState, cfg: PropCfg,
+                   iteration, key, weak_x, weak_y, weak_valid,
+                   anchors, fit_planes, depth_min, depth_max,
+                   geom_factor) -> PMState:
+    """One weak-pixel sweep.
+
+    weak_x/weak_y: (Nw,) int32 coords (padded entries arbitrary);
+    weak_valid: (Nw,) bool; anchors: (Nw, 9, 2) int32; fit_planes: (Nw, 4)
+    from the per-iteration RANSAC fit (zeros when absent).
+    """
+    h, w = state.costs.shape
+    x, y = weak_x, weak_y
+    Nw = x.shape[0]
+
+    key, k_sel = jax.random.split(key)
+    key, k_ref = jax.random.split(key)
+
+    def body(ks, kr, xc, yc, anc, fpl):
+        return _weak_body(data, state, cfg, iteration, ks, kr, xc, yc,
+                          anc, fpl, depth_min, depth_max, geom_factor)
+
+    planes_out, costs_out, sel_new, vw = _run_chunked(
+        body, k_sel, k_ref, (x, y, anchors, fit_planes), Nw,
+        chunk=_WEAK_SWEEP_CHUNK)
 
     # scatter into the dense state at the weak-list coordinates; padded
     # entries scatter to an out-of-range index and are dropped so they can

@@ -33,7 +33,8 @@ from ..core import geometry as geo
 from ..ops import anchors as anchor_ops
 from ..ops import filters, init as init_ops
 from ..ops.cost import CostData
-from ..ops.propagation import PropCfg, propagate_strong, propagate_weak
+from ..ops.propagation import PropCfg, _throttle, propagate_strong, \
+    propagate_strong_host, propagate_weak, propagate_weak_host
 from ..ops.state import PMState
 
 
@@ -47,15 +48,14 @@ class StaticCfg(NamedTuple):
 
 
 def _bucket(n: int, minimum: int = 4096) -> int:
-    """Pad a dynamic count to a 4x-growth bucket.
-
-    The weak count differs per view, and every distinct bucket size compiles
-    a fresh kernel set (minutes on TPU); coarse buckets mean at most ~5
-    distinct sizes ever exist per scan, at the cost of up to 4x masked lanes
-    in the (cheap, minority-pixel) weak sweeps."""
+    """Pad a dynamic count to a growth bucket: 4x below 262144 (the weak
+    count differs per view, and every distinct bucket size compiles a fresh
+    kernel set — minutes on TPU), 2x above (full-resolution weak lists run
+    into millions of pixels; a 4x top bucket wastes more sweep compute than
+    an extra compile costs)."""
     b = minimum
     while b < n:
-        b *= 4
+        b *= 4 if b < 262144 else 2
     return b
 
 
@@ -97,6 +97,38 @@ def _jit_apd_setup(shape, num_src, cfg: StaticCfg, nw: int,
                                            res.reliable)
         return state, res.anchors, res.reliable
     return jax.jit(f)
+
+
+# gen_anchors' flat probe tensor is (Nw, dirs*radii*jitter) — 2432 columns
+# at rotate_time 4 — so the per-program weak chunk stays small
+_APD_SETUP_CHUNK = 1 << 15
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_jfa(shape):
+    def f(state):
+        return anchor_ops.nearest_strong_jfa(state.weak, state.confidence,
+                                             state.valid)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_anchor_chunk(shape, num_src, cfg: StaticCfg, chunk: int,
+                      radius_budget: int):
+    def f(key, data, state, wx, wy, wv, ns, ransac_threshold, depth_min,
+          depth_max):
+        res = anchor_ops.gen_anchors(
+            key, data, state, wx, wy, wv, cfg.rotate_time, ransac_threshold,
+            depth_min, depth_max, ns, radius_budget=radius_budget)
+        return res.anchors, res.reliable
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_neighbor_update(shape):
+    def f(state, wx, wy, wv, reliable):
+        return anchor_ops.neighbor_update(state, wx, wy, wv, reliable)
+    return jax.jit(f, donate_argnums=(0,))
 
 
 @functools.lru_cache(maxsize=64)
@@ -164,6 +196,211 @@ def _jit_iterations(shape, num_src, cfg: StaticCfg, nw: int):
             state, jnp.arange(2))
         return state
     return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# Host-dispatched pass driver for very large images.
+#
+# The remote TPU worker kills device programs that execute for longer than
+# ~60-80 s (measured: 50 s programs run, ~80 s ones crash the worker —
+# benchmarks/sweep_size_probe.py). At ETH3D-native resolution the fused
+# iterations program would run for minutes, so above a size threshold the
+# pass runs the SAME stage bodies as one program per pixel chunk (~15 s
+# each), dispatched from the host. RNG draw grouping differs from the fused
+# program (statistically equivalent); the mode is a static function of the
+# shapes, so runs remain deterministic.
+# ---------------------------------------------------------------------------
+
+def _iterations_host_mode(shape, num_src: int, cfg: StaticCfg) -> bool:
+    h, w = shape
+    # measured u8 row-gather rates: ~380 M rows/s for bench-size tables,
+    # plateauing at ~170 M beyond ~1.5 M rows (gather_locality_probe)
+    rate = 380e6 if h * w <= 600_000 else 170e6
+    rows = cfg.max_iterations * 2 * 14 * (h * w / 2) * num_src * 36
+    return rows / rate > 35.0
+
+
+def _host_chunks(num_src: int) -> Tuple[int, int]:
+    """(strong, weak) chunk sizes targeting ~15 s per dispatched program,
+    bucketed to powers of two so few chunk-shaped kernels compile."""
+    budget_rows = 2.5e9
+
+    def bucket(target, lo=1 << 14, hi=1 << 19):
+        b = lo
+        while b * 2 <= min(target, hi):
+            b *= 2
+        return b
+
+    return (bucket(budget_rows / (14 * num_src * 36)),
+            bucket(budget_rows / (15 * num_src * 324)))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_make_planes(shape, first_init: bool):
+    def f(data, state, key, depth_min, depth_max):
+        if first_init:
+            return init_ops.random_planes(key, data, depth_min, depth_max)
+        return filters.depth_normal_to_planes(
+            data, state.planes[..., 3], state.planes[..., :3])
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_init_chunk(num_src, cfg: StaticCfg):
+    params = PatchMatchParams(
+        strong_radius=cfg.prop.strong_radius,
+        strong_increment=cfg.prop.strong_increment,
+        use_sa=cfg.prop.use_sa, top_k=cfg.prop.top_k)
+
+    def f(data, planes_c, x, y):
+        return init_ops.initial_cost_chunk(data, planes_c, x, y, params)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_weak_rescore_chunk(num_src, cfg: StaticCfg):
+    """Deformable initial cost for one weak-pixel chunk (the full-list
+    WeakRefData is (Nw, 8, 36) — gigabytes at full-res weak counts)."""
+    params = PatchMatchParams(
+        strong_radius=cfg.prop.strong_radius,
+        strong_increment=cfg.prop.strong_increment,
+        weak_radius=cfg.prop.weak_radius,
+        weak_increment=cfg.prop.weak_increment,
+        use_sa=cfg.prop.use_sa, top_k=cfg.prop.top_k)
+
+    def f(data, state, wx, wy, anchors_c):
+        from ..ops.deformable import WeakRefData, ncc_weak
+        w = data.width
+        wref = WeakRefData.build(
+            data, wx.astype(jnp.float32), wy.astype(jnp.float32),
+            anchors_c, state.selected, params)
+        wplanes = state.planes.reshape(-1, 4)[wy * w + wx]
+        return ncc_weak(data, wref, wplanes, params)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_init_commit(shape, num_src, cfg: StaticCfg, with_weak: bool):
+    def f(data, state, costs, wcosts, weak_x, weak_y, weak_valid):
+        h, w = shape
+        if with_weak:
+            flat_idx = jnp.where(weak_valid, weak_y * w + weak_x, h * w)
+            costs = costs.at[flat_idx].set(wcosts, mode="drop")
+        from ..ops.cost import initial_cost_and_selection
+        mean_cost, selected = initial_cost_and_selection(
+            costs, cfg.prop.top_k)
+        return state.replace(
+            costs=jnp.where(state.valid, mean_cost.reshape(h, w), 1e9),
+            selected=selected.reshape(h, w, -1) & state.valid[..., None])
+    # donate the state (fragmentation at full-res; see propagation
+    # _strong_commit_jit note)
+    return jax.jit(f, donate_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_fit_planes(shape, num_src, cfg: StaticCfg, nw: int):
+    def f(key, data, state, weak_x, weak_y, weak_valid, anchors):
+        return anchor_ops.ransac_fit_planes(
+            key, data, state, weak_x, weak_y, weak_valid, anchors)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_depth_normal_median(shape, num_src):
+    def f(data, state):
+        state = state.replace(planes=filters.planes_to_depth_normal(
+            data, state.planes))
+        for color in (0, 1):
+            state = filters.median_filter_color(state, color)
+        return state
+    return jax.jit(f, donate_argnums=(1,))
+
+
+def _init_host(data, state, key, cfg: StaticCfg, nw_cap, first_init,
+               weak_x, weak_y, weak_valid, anchors, depth_min, depth_max,
+               chunk):
+    """Host-dispatched equivalent of _jit_init: plane init, chunked strong
+    initial costs, weak rescore + top-k selection."""
+    shape = (data.height, data.width)
+    S = data.num_src
+    planes = _jit_make_planes(shape, first_init)(
+        data, state, key, depth_min, depth_max)
+    state = state.replace(planes=planes)
+    h, w = shape
+    n = h * w
+    ys, xs = np.mgrid[0:h, 0:w]
+    xf = xs.reshape(-1).astype(np.float32)
+    yf = ys.reshape(-1).astype(np.float32)
+    pad = (-n) % chunk
+    xf = np.pad(xf, (0, pad))
+    yf = np.pad(yf, (0, pad))
+    planes_flat = jnp.concatenate(
+        [planes.reshape(-1, 4),
+         jnp.zeros((pad, 4), planes.dtype)]) if pad else planes.reshape(-1, 4)
+    body = _jit_init_chunk(S, cfg)
+    outs = []
+    for ci in range((n + pad) // chunk):
+        outs.append(body(data, planes_flat[ci * chunk:(ci + 1) * chunk],
+                         jnp.asarray(xf[ci * chunk:(ci + 1) * chunk]),
+                         jnp.asarray(yf[ci * chunk:(ci + 1) * chunk])))
+        _throttle(outs)
+    costs = jnp.concatenate(outs, axis=0)[:n]
+
+    use_apd = cfg.use_apd and nw_cap > 0
+    wcosts = jnp.zeros((1, S), jnp.float32)
+    if use_apd:
+        wchunk = min(1 << 16, nw_cap)
+        rescore = _jit_weak_rescore_chunk(S, cfg)
+        wouts = []
+        for ci in range((nw_cap + wchunk - 1) // wchunk):
+            sl = slice(ci * wchunk, (ci + 1) * wchunk)
+            wouts.append(rescore(data, state, weak_x[sl], weak_y[sl],
+                                 anchors[sl]))
+            _throttle(wouts)
+        wcosts = jnp.concatenate(wouts, axis=0)[:nw_cap]
+    return _jit_init_commit(shape, S, cfg, use_apd)(
+        data, state, costs, wcosts, weak_x, weak_y, weak_valid)
+
+
+def _host_sync(tag, state):
+    """Env-gated hard sync (APDE_HOST_SYNC=1) between host-driver stages: a
+    1-element readback is the only reliable completion barrier through the
+    remote tunnel, and it pins async device failures to the stage that
+    raised them."""
+    import os as _os
+    if _os.environ.get("APDE_HOST_SYNC") == "1":
+        import time as _time
+        t0 = _time.time()
+        np.asarray(state.costs.reshape(-1)[:1])
+        print(f"  [host_sync] {tag}: {_time.time() - t0:.1f} s", flush=True)
+
+
+def _iterations_host(data, state, key, cfg: StaticCfg, nw_cap,
+                     weak_x, weak_y, weak_valid, anchors,
+                     depth_min, depth_max, geom_factor):
+    """Host-dispatched equivalent of _jit_iterations (same stage order and
+    key-split structure as the fused program)."""
+    shape = (data.height, data.width)
+    S = data.num_src
+    chunk_s, chunk_w = _host_chunks(S)
+    keys = jax.random.split(key, cfg.max_iterations)
+    for it in range(cfg.max_iterations):
+        k1, k2, k3 = jax.random.split(keys[it], 3)
+        kcs = jax.random.split(k1, 2)
+        for color in (0, 1):
+            state = propagate_strong_host(
+                data, state, cfg.prop, it, kcs[color], color,
+                depth_min, depth_max, geom_factor, chunk=chunk_s)
+            _host_sync(f"strong it{it} color{color}", state)
+        if cfg.use_apd and nw_cap > 0:
+            fit = _jit_fit_planes(shape, S, cfg, nw_cap)(
+                k2, data, state, weak_x, weak_y, weak_valid, anchors)
+            state = propagate_weak_host(
+                data, state, cfg.prop, it, k3, weak_x, weak_y, weak_valid,
+                anchors, fit, depth_min, depth_max, geom_factor,
+                chunk=chunk_w)
+            _host_sync(f"weak it{it}", state)
+    return _jit_depth_normal_median(shape, S)(data, state)
 
 
 @functools.lru_cache(maxsize=64)
@@ -294,10 +531,33 @@ def run_patchmatch(
             anchors_map_np = np.full((h, w), -1, np.int32)
             anchors_map_np[wy, wx] = np.arange(nw)
             key, k_anchor = jax.random.split(key)
-            setup = _jit_apd_setup(shape, S, cfg, cap, anchor_radius_budget)
-            state, anchors, _rel = setup(
-                data, state, weak_x, weak_y, weak_valid, k_anchor,
-                jnp.float32(params.ransac_threshold), dmin, dmax)
+            if cap <= _APD_SETUP_CHUNK:
+                setup = _jit_apd_setup(shape, S, cfg, cap,
+                                       anchor_radius_budget)
+                state, anchors, _rel = setup(
+                    data, state, weak_x, weak_y, weak_valid, k_anchor,
+                    jnp.float32(params.ransac_threshold), dmin, dmax)
+            else:
+                # full-res weak lists: the (Nw, dirs*radii*jitter) probe
+                # tensors of one fused gen_anchors program reach tens of GB
+                # (40 GB at the 4M bucket); generate anchors one weak chunk
+                # per program
+                ns = _jit_jfa(shape)(state)
+                gen = _jit_anchor_chunk(shape, S, cfg, _APD_SETUP_CHUNK,
+                                        anchor_radius_budget)
+                parts = []
+                for ci in range(cap // _APD_SETUP_CHUNK):
+                    sl = slice(ci * _APD_SETUP_CHUNK,
+                               (ci + 1) * _APD_SETUP_CHUNK)
+                    parts.append(gen(
+                        jax.random.fold_in(k_anchor, ci), data, state,
+                        weak_x[sl], weak_y[sl], weak_valid[sl], ns,
+                        jnp.float32(params.ransac_threshold), dmin, dmax))
+                    _throttle(parts)
+                anchors = jnp.concatenate([p[0] for p in parts], axis=0)
+                rel = jnp.concatenate([p[1] for p in parts], axis=0)
+                state = _jit_neighbor_update(shape)(
+                    state, weak_x, weak_y, weak_valid, rel)
 
     # optional per-stage wall-clock (APDE_STAGE_TIMING=1): forces a device
     # sync per stage, so only enable when measuring
@@ -316,11 +576,25 @@ def run_patchmatch(
     key, k_init, k_iter = jax.random.split(key, 3)
     nw_cap = int(weak_x.shape[0]) if nw > 0 else 0
     _mark("apd_setup", state.weak)
-    state = _jit_init(shape, S, cfg, nw_cap, first_init)(
-        data, state, k_init, dmin, dmax, weak_x, weak_y, weak_valid, anchors)
-    state = _jit_iterations(shape, S, cfg, nw_cap)(
-        data, state, k_iter, weak_x, weak_y, weak_valid, anchors,
-        dmin, dmax, gf)
+    if _iterations_host_mode(shape, S, cfg):
+        # large images: one device program per chunk (the fused program
+        # would exceed the remote worker's execution budget; see the
+        # host-dispatch section above)
+        chunk_s, _ = _host_chunks(S)
+        state = _init_host(data, state, k_init, cfg, nw_cap, first_init,
+                           weak_x, weak_y, weak_valid, anchors, dmin, dmax,
+                           chunk=chunk_s)
+        _host_sync("init", state)
+        state = _iterations_host(data, state, k_iter, cfg, nw_cap,
+                                 weak_x, weak_y, weak_valid, anchors,
+                                 dmin, dmax, gf)
+    else:
+        state = _jit_init(shape, S, cfg, nw_cap, first_init)(
+            data, state, k_init, dmin, dmax, weak_x, weak_y, weak_valid,
+            anchors)
+        state = _jit_iterations(shape, S, cfg, nw_cap)(
+            data, state, k_iter, weak_x, weak_y, weak_valid, anchors,
+            dmin, dmax, gf)
     _mark("init+sweeps", state.costs)
 
     # ---- reliability classification (compacted + chunked) -----------------
@@ -343,7 +617,9 @@ def run_patchmatch(
 
     def _chunked(fn, mask):
         """Run a flat-pixel-batch jit over mask's pixels in fixed chunks;
-        yields ((rows, cols), flat results)."""
+        yields ((rows, cols), flat results). Throttled: async dispatch
+        allocates every queued chunk's temps at enqueue (see ops.propagation
+        _throttle)."""
         cyy, cxx = np.nonzero(mask)
         n = len(cxx)
         if n == 0:
@@ -351,9 +627,11 @@ def run_patchmatch(
         pad = (-n) % chunk
         cx_p = np.pad(cxx, (0, pad)).astype(np.int32)
         cy_p = np.pad(cyy, (0, pad)).astype(np.int32)
-        outs = [fn(jnp.asarray(cx_p[s * chunk:(s + 1) * chunk]),
-                   jnp.asarray(cy_p[s * chunk:(s + 1) * chunk]))
-                for s in range(len(cx_p) // chunk)]
+        outs = []
+        for s in range(len(cx_p) // chunk):
+            outs.append(fn(jnp.asarray(cx_p[s * chunk:(s + 1) * chunk]),
+                           jnp.asarray(cy_p[s * chunk:(s + 1) * chunk])))
+            _throttle(outs)
         return (cyy, cxx), outs
 
     classify = _jit_classify(shape, S, cfg, chunk, export_curve, sweep_k)

@@ -42,13 +42,15 @@ def test_plane_depth_normal_roundtrip():
 
 
 def test_masked_median():
-    vals = jnp.asarray([[3.0, 1.0, 2.0, 9.0], [5.0, 0.0, 0.0, 0.0]])
-    valid = jnp.asarray([[True, True, True, False], [True, False, False, False]])
+    # tap-major (T, B): each COLUMN is one pixel's candidate list
+    vals = jnp.asarray([[3.0, 1.0, 2.0, 9.0], [5.0, 0.0, 0.0, 0.0]]).T
+    valid = jnp.asarray([[True, True, True, False],
+                         [True, False, False, False]]).T
     med = np.asarray(filters._masked_median(vals, valid))
     assert med[0] == 2.0          # odd count -> middle
     assert med[1] == 5.0          # single value
-    vals2 = jnp.asarray([[4.0, 1.0, 3.0, 2.0]])
-    valid2 = jnp.asarray([[True, True, True, True]])
+    vals2 = jnp.asarray([[4.0, 1.0, 3.0, 2.0]]).T
+    valid2 = jnp.asarray([[True, True, True, True]]).T
     assert filters._masked_median(vals2, valid2)[0] == pytest.approx(2.5)
 
 

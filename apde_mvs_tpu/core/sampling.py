@@ -16,6 +16,8 @@ is the saner extrapolation and is what we standardize on.)
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -51,10 +53,60 @@ def lerp_quad_rows(rows: jnp.ndarray, fx, fy):
     return top * (1.0 - fy) + bot * fy
 
 
+# --------------------------------------------------------------------------
+# Banded row gather — the big-table fast path.
+#
+# XLA:TPU's u8 row-gather emitter is bimodal in TABLE BYTES: ~405 M rows/s
+# up to ~3.5 MiB, ~175 M rows/s above (threshold measured to the 0.5 MiB in
+# benchmarks/gather_vmem_probe.py; independent of index coherence, row
+# blocking, and scoped-VMEM options — gather_locality_probe.py).  Full-res
+# quad tables (6 MP = 24 MiB) therefore gather 2.3x slower than the bench's
+# 0.5 MP tables.  But one production gather covers ONE (candidate, view)
+# pair over a spatially contiguous pixel chunk, whose warped coordinates
+# almost always span a narrow row band.  So: dynamic-slice a 3 MiB band at
+# the indices' min and gather inside it (405 M rows/s), falling back to the
+# full-table gather under lax.cond when the span does not fit — bitwise
+# identical either way (benchmarks/gather_window_probe.py: 351 M rows/s
+# fast branch, 174 slow branch, vs 174 unbanded).
+# --------------------------------------------------------------------------
+
+# 3 MiB of (N, 4) u8 rows — comfortably under the ~3.5 MiB fast-path edge.
+BAND_ROWS = 786432
+
+_BANDED = os.environ.get("APDE_BANDED_GATHER", "1") != "0"
+
+
+def banded_take(tab: jnp.ndarray, idx):
+    """Row gather from a big (N, C) table through a BAND_ROWS window when
+    the index span fits (fast path), full-table gather when it does not.
+    Results are bitwise identical to ``jnp.take(tab, idx, axis=0)``."""
+    n, c = tab.shape
+    lo = jnp.min(idx).astype(jnp.int32)
+    hi = jnp.max(idx).astype(jnp.int32)
+    start = jnp.clip(lo, 0, n - BAND_ROWS)
+
+    def fast(_):
+        band = jax.lax.dynamic_slice(tab, (start, 0), (BAND_ROWS, c))
+        return jnp.take(band, idx - start, axis=0)
+
+    def slow(_):
+        return jnp.take(tab, idx, axis=0)
+
+    return jax.lax.cond(hi - start < BAND_ROWS, fast, slow, None)
+
+
+def _use_band(tab: jnp.ndarray) -> bool:
+    """Banding pays only on u8 tables past the fast-path size edge (f32
+    tables have no fast path at any size; small tables already ride it)."""
+    return _BANDED and tab.dtype == jnp.uint8 and tab.shape[0] > BAND_ROWS
+
+
 def bilinear_sample_packed(quad: jnp.ndarray, width: int, height: int, x, y):
     """Bilinear sample from a pack_bilinear[_u8]() layout. x, y any shape."""
     idx, fx, fy = quad_coords(width, height, x, y)
-    return lerp_quad_rows(jnp.take(quad, idx, axis=0), fx, fy)
+    rows = banded_take(quad, idx) if _use_band(quad) \
+        else jnp.take(quad, idx, axis=0)
+    return lerp_quad_rows(rows, fx, fy)
 
 
 def bilinear_sample(img: jnp.ndarray, x, y):

@@ -23,6 +23,7 @@ import numpy as np
 from ..core import geometry as geo
 from ..core.sampling import fetch
 from . import cost as cost_ops
+from ..core.sampling import BAND_ROWS
 from .cost import COST_MAX, CostData, MIN_VAR, RefWindow, sample_src_view
 
 
@@ -149,7 +150,17 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
     tx = wref.anchor_x[..., None] + wk[None, None, :, 0]
     ty = wref.anchor_y[..., None] + wk[None, None, :, 1]
     wx, wy = geo.warp(H[..., None, None, :, :], tx, ty)
-    sv = sample_src_view(data, src_index, wx, wy)
+    if data.src_quads.shape[1] > BAND_ROWS:
+        # Big tables ride the banded fast gather (core.sampling.banded_take)
+        # only when one gather's index span fits a 3 MiB band. The 8 anchors
+        # of a pixel can sit far apart (anchor reach is thousands of px) but
+        # each anchor SLOT is spatially coherent across a compacted chunk,
+        # so gather slot-by-slot instead of one (B, 8, T') fused gather —
+        # same total rows, per-slot windows.
+        sv = jnp.stack([sample_src_view(data, src_index, wx[:, a], wy[:, a])
+                        for a in range(wx.shape[1])], axis=1)
+    else:
+        sv = sample_src_view(data, src_index, wx, wy)
     tw = wref.tap_w
     s_src_a = (tw * sv).sum(-1)
     s_ss_a = (tw * sv * sv).sum(-1)

@@ -159,3 +159,48 @@ def test_ncc_weak_selected_matches_full():
         want = np.take_along_axis(full, np.asarray(sel_idx), axis=-1)
         want = np.where(np.asarray(sel_valid), want, 2.0)            # COST_MAX
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_banded_take_bitwise_equals_plain():
+    """banded_take must equal jnp.take on both regimes: indices spanning a
+    narrow band (fast branch) and the whole table (fallback branch)."""
+    from apde_mvs_tpu.core.sampling import BAND_ROWS, banded_take
+
+    rng = np.random.default_rng(7)
+    n = BAND_ROWS + 50000
+    tab = jnp.asarray(rng.integers(0, 256, (n, 4)), jnp.uint8)
+
+    fits = jnp.asarray(rng.integers(123456, 123456 + BAND_ROWS // 2,
+                                    (64, 36)), jnp.int32)
+    wide = jnp.asarray(rng.integers(0, n, (64, 36)), jnp.int32)
+    edge = jnp.asarray(rng.integers(n - BAND_ROWS // 4, n,
+                                    (64, 36)), jnp.int32)  # clamped start
+    take = jax.jit(lambda t, i: banded_take(t, i))
+    for idx in (fits, wide, edge):
+        got = np.asarray(take(tab, idx))
+        want = np.asarray(jnp.take(tab, idx, axis=0))
+        assert np.array_equal(got, want)
+
+
+def test_banded_sampler_bitwise_equals_unbanded():
+    """bilinear_sample_packed through a big u8 table must match the
+    plain-gather result bitwise regardless of band hit/miss."""
+    from apde_mvs_tpu.core import sampling as S
+
+    rng = np.random.default_rng(3)
+    h = (S.BAND_ROWS // 640) + 40          # force n > BAND_ROWS
+    w = 640
+    img = _int_image(rng, h, w)
+    quad = pack_bilinear_u8(img)
+    assert quad.shape[0] > S.BAND_ROWS
+
+    # narrow-band coords (one row region) and full-span coords
+    xs = jnp.asarray(rng.uniform(0, w - 1, (512,)), jnp.float32)
+    y_narrow = jnp.asarray(rng.uniform(100, 130, (512,)), jnp.float32)
+    y_wide = jnp.asarray(rng.uniform(0, h - 1, (512,)), jnp.float32)
+    for ys in (y_narrow, y_wide):
+        got = np.asarray(bilinear_sample_packed(quad, w, h, xs, ys))
+        idx, fx, fy = S.quad_coords(w, h, xs, ys)
+        want = np.asarray(S.lerp_quad_rows(
+            jnp.take(quad, idx, axis=0), fx, fy))
+        assert np.array_equal(got, want)

@@ -380,6 +380,24 @@ def geom_selected(data: CostData, x, y, plane, sel_idx, sel_valid
     return jnp.where(sel_valid, costs, GEOM_COST_MAX)
 
 
+def geom_one_view(data: CostData, s, x, y, plane) -> jnp.ndarray:
+    """Geometric consistency cost (B,) against ONE source view; `s` may be a
+    traced view index. Same math as one step of `geom_cost` (reference:
+    ComputeGeomConsistencyCost, APD.cu:865-902) — used by the view-major
+    classification/refine sweeps that evaluate one view per program."""
+    depth = geo.depth_from_plane(data.ref_cam, plane, x, y)
+    Xw = geo.backproject_world(data.ref_cam, x, y, depth)
+    src_cam = data.src_cams.view(s)
+    sx, sy, _sd = geo.project(src_cam, Xw)
+    src_depth = texel_fetch(data.src_depths[s], sx, sy)
+    Xs = geo.backproject_world(src_cam, sx, sy, src_depth)
+    bx, by, _bd = geo.project(data.ref_cam, Xs)
+    dist = jnp.sqrt((x - bx) ** 2 + (y - by) ** 2)
+    cost = jnp.minimum(GEOM_COST_MAX, dist)
+    bad = (src_depth == 0.0) | ~jnp.isfinite(cost)
+    return jnp.where(bad, GEOM_COST_MAX, cost)
+
+
 def geom_cost(data: CostData, x, y, plane) -> jnp.ndarray:
     """Geometric consistency cost vector (B, S): forward-backward reprojection
     distance against source depth maps, clamped to 3; missing source depth

@@ -254,9 +254,6 @@ def depth_to_weak(data: CostData, state: PMState, x, y, weak_peak_radius,
     APD.cu:2103-2250): sweep 61 one-pixel-disparity steps around the current
     depth, find cost-curve local minima ("peaks"), classify STRONG/WEAK/
     UNKNOWN. Returns (new_weak (B,), curve (B, 61) or None)."""
-    h, w = state.costs.shape
-    B = x.shape[0]
-    min_margin = 6
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     setup = _sweep_setup(data, state, x, y, sweep_k)
@@ -275,7 +272,18 @@ def depth_to_weak(data: CostData, state: PMState, x, y, weak_peak_radius,
     _, curve = jax.lax.scan(step, jnp.int32(0), None,
                             length=RELIABLE_CURVE_SAMPLE_NUM)
     curve = jnp.moveaxis(curve, 0, 1)                    # (B, 61)
+    new_weak = _classify_peaks(data, state, x, y, curve, weak_peak_radius,
+                               setup.ok)
+    return new_weak, (curve if return_curve else None)
 
+
+def _classify_peaks(data: CostData, state: PMState, x, y, curve,
+                    weak_peak_radius, setup_ok) -> jnp.ndarray:
+    """STRONG/WEAK/UNKNOWN from a (B, 61) sweep cost curve: strict local
+    minima ("peaks"), distance/cost/variance rules, margin guards
+    (reference: DepthToWeak peak analysis, APD.cu:2188-2249)."""
+    radius = (RELIABLE_CURVE_SAMPLE_NUM - 1) // 2
+    min_margin = 6
     # peaks: strict local minima over i in [2, 58]
     left = curve[:, 1:-1]
     prev = curve[:, :-2]
@@ -308,9 +316,160 @@ def depth_to_weak(data: CostData, state: PMState, x, y, weak_peak_radius,
     # guards: margins and degenerate setups -> UNKNOWN
     margin = (x < min_margin) | (y < min_margin) \
         | (x >= data.img_w - min_margin) | (y >= data.img_h - min_margin)
-    invalid = margin | ~setup.ok | ~fetch(state.valid, x, y)
-    new_weak = jnp.where(invalid, UNKNOWN, new_weak)
-    return new_weak.astype(jnp.int32), (curve if return_curve else None)
+    invalid = margin | ~setup_ok | ~fetch(state.valid, x, y)
+    return jnp.where(invalid, UNKNOWN, new_weak).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# View-major sweeps: evaluate only the SELECTED (pixel, view) pairs.
+#
+# The classification/refine sweeps gate every view's cost by the
+# selection-gated weight, so unselected views contribute exactly zero — but
+# the all-views path still pays their gathers, and the per-pixel slot path
+# gathers from the flat (S*H*W, 4) table which never rides the banded fast
+# path (indices span views). Restructure: the host compacts the (pixel,
+# view) pairs BY VIEW and dispatches one program per source view, which
+# accumulates w_s * cost_curve_s into a (B, 61) numerator via scatter-add;
+# a final program normalizes and classifies. Per-view gathers hit one
+# per-view quad table with one probe depth per step — exactly the banded
+# gather's sweet spot. Arithmetic matches _sweep_cost's weighted mean up to
+# summation order.
+# ---------------------------------------------------------------------------
+
+
+class _SweepScalars(NamedTuple):
+    ok: jnp.ndarray          # (B,)
+    plane_cam: jnp.ndarray   # (B, 4)
+    depth: jnp.ndarray       # (B,)
+    disp: jnp.ndarray        # (B,)
+    base_line: jnp.ndarray   # (B,)
+    wnorm: jnp.ndarray       # (B,)
+    vw: jnp.ndarray          # (B, S) selection-gated weights
+
+
+def _sweep_scalars(data: CostData, state: PMState, x, y) -> _SweepScalars:
+    """Per-pixel scalar setup shared by the disparity sweeps (the non-slot
+    half of `_sweep_setup`; reference: APD.cu:2121-2157)."""
+    plane_world = fetch(state.planes, x, y)
+    plane_cam = geo.normal_world_to_cam(data.ref_cam.R, plane_world)
+    depth = plane_cam[..., 3]
+    sel = fetch(state.selected, x, y)
+    vw = jnp.where(sel, fetch(state.view_weights, x, y), 0.0)
+    wnorm = vw.sum(-1)
+    dists = jnp.linalg.norm(data.ref_cam.c[None, :] - data.src_cams.c, axis=-1)
+    valid_src = sel.sum(-1)
+    base_line = jnp.where(sel, dists[None, :], 0.0).sum(-1) \
+        / jnp.maximum(valid_src, 1)
+    disp = data.ref_cam.fx * base_line / jnp.where(depth != 0, depth, 1.0)
+    ok = (depth != 0) & (valid_src > 0)
+    return _SweepScalars(ok, plane_cam, depth, disp, base_line, wnorm, vw)
+
+
+def sweep_curve_view(data: CostData, state: PMState, acc, x, y, pos, view,
+                     use_sa: bool, geom: bool, geom_factor,
+                     strong_radius=5, strong_increment=2,
+                     num_steps: int = RELIABLE_CURVE_SAMPLE_NUM,
+                     include_now: bool = False):
+    """Accumulate one source view's weighted sweep-cost curves into `acc`.
+
+    x, y: (Bs,) pixels that selected `view` (a traced view index); pos:
+    (Bs,) rows of `acc` to add into (out-of-range rows drop — padding).
+    The per-view weight is the selection-gated view weight, so rows whose
+    pixel did not select `view` contribute exactly 0 even if the host
+    compaction over-includes them. With `include_now` a final extra column
+    evaluates the CURRENT depth (LocalRefine's cost_now; acc then has
+    num_steps + 1 columns)."""
+    from .cost import geom_one_view
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    sc = _sweep_scalars(data, state, x, y)
+    w_s = jax.lax.dynamic_index_in_dim(sc.vw, view, axis=1, keepdims=False)
+    win = precompute_ref_window(data, xf, yf, strong_radius, strong_increment,
+                                use_sa)
+    radius = (num_steps - 1) // 2
+    n = sc.plane_cam[..., :3]
+
+    def step(i, _):
+        p_disp = (i - radius).astype(jnp.float32)
+        p_depth = data.ref_cam.fx * sc.base_line \
+            / jnp.where(sc.disp + p_disp != 0, sc.disp + p_disp, 1e-20)
+        if include_now:
+            p_depth = jnp.where(i >= num_steps, sc.depth, p_depth)
+        wdist = geo.plane_dist_to_origin(data.ref_cam, xf, yf, p_depth, n)
+        plane = jnp.concatenate([n, wdist[..., None]], -1)
+        c = _ncc_one_view(data, view, xf, yf, plane, win)
+        if geom:
+            c = c + geom_factor * geom_one_view(data, view, xf, yf, plane)
+        return i + 1, c
+
+    _, curves = jax.lax.scan(step, jnp.int32(0), None,
+                             length=num_steps + int(include_now))
+    contrib = w_s[None, :] * curves                       # (steps, Bs)
+    # callers pass `pos` sorted and unique (padding rows >= len(acc) and
+    # distinct), letting the scatter-add lower without a sort/dedup pass
+    return acc.at[pos].add(jnp.moveaxis(contrib, 0, 1), mode="drop",
+                           unique_indices=True, indices_are_sorted=True)
+
+
+def _ncc_one_view(data: CostData, s, x, y, plane, win):
+    from . import cost as cost_ops
+    return cost_ops._per_view_ncc(data, s, x, y, plane, win)
+
+
+def classify_from_curve(data: CostData, state: PMState, x, y, num,
+                        weak_peak_radius, depth_min, depth_max,
+                        return_curve: bool = False,
+                        num_steps: int = RELIABLE_CURVE_SAMPLE_NUM):
+    """Finish the view-major classification: normalize the accumulated
+    numerator `num` (B, 61) by the selection weight sum, apply the same
+    wnorm/depth-range/COST_MAX masking as `_sweep_cost` + `depth_to_weak`,
+    then run the shared peak classification."""
+    sc = _sweep_scalars(data, state, x, y)
+    radius = (num_steps - 1) // 2
+    steps = (jnp.arange(num_steps) - radius).astype(jnp.float32)
+    denom = jnp.where(sc.disp[:, None] + steps[None, :] != 0,
+                      sc.disp[:, None] + steps[None, :], 1e-20)
+    p_depth = data.ref_cam.fx * sc.base_line[:, None] / denom     # (B, 61)
+    mean = num / jnp.maximum(sc.wnorm[:, None], 1e-20)
+    c = jnp.where(sc.wnorm[:, None] > 0, mean, COST_MAX)
+    in_range = (p_depth >= depth_min) & (p_depth <= depth_max)
+    curve = jnp.minimum(jnp.where(in_range, c, COST_MAX), COST_MAX)
+    new_weak = _classify_peaks(data, state, x, y, curve, weak_peak_radius,
+                               sc.ok)
+    return new_weak, (curve if return_curve else None)
+
+
+def refine_from_curve(data: CostData, state: PMState, x, y, num,
+                      depth_min, depth_max, num_steps: int = 11):
+    """Finish the view-major LocalRefine: `num` is the (B, num_steps + 1)
+    accumulated numerator (last column = cost at the current depth). Applies
+    `local_refine`'s decision rule: replace the depth with the best in-range
+    sweep depth when it improves the current cost by > 0.1 and beats the
+    COST_MAX init (reference: LocalRefine, APD.cu:2403-2430)."""
+    sc = _sweep_scalars(data, state, x, y)
+    radius = (num_steps - 1) // 2
+    steps = (jnp.arange(num_steps) - radius).astype(jnp.float32)
+    denom = jnp.where(sc.disp[:, None] + steps[None, :] != 0,
+                      sc.disp[:, None] + steps[None, :], 1e-20)
+    p_depth = data.ref_cam.fx * sc.base_line[:, None] / denom
+    mean = num / jnp.maximum(sc.wnorm[:, None], 1e-20)
+    c = jnp.where(sc.wnorm[:, None] > 0, mean, COST_MAX)
+    cost_now = c[:, num_steps]                # never depth-range-masked
+    sweep = c[:, :num_steps]
+    in_range = (p_depth >= depth_min) & (p_depth <= depth_max)
+    sweep = jnp.where(in_range, sweep, COST_MAX)
+    # fori parity: the COST_MAX/current-depth init only loses to a STRICTLY
+    # cheaper step, and the earliest minimal step wins ties — a leading
+    # virtual column + first-min argmin reproduces both
+    sweep_ext = jnp.concatenate(
+        [jnp.full_like(cost_now[:, None], COST_MAX), sweep], axis=1)
+    depth_ext = jnp.concatenate([sc.depth[:, None], p_depth], axis=1)
+    best = jnp.argmin(sweep_ext, axis=-1)
+    min_cost = jnp.take_along_axis(sweep_ext, best[:, None], 1)[:, 0]
+    best_depth = jnp.take_along_axis(depth_ext, best[:, None], 1)[:, 0]
+    improve = (cost_now - min_cost) > 0.1
+    ok = sc.ok & (sc.wnorm > 0) & fetch(state.valid, x, y)
+    return jnp.where(improve & ok, best_depth, sc.depth)
 
 
 def local_refine(data: CostData, state: PMState, x, y, use_sa: bool,

@@ -222,7 +222,12 @@ def _iterations_host_mode(shape, num_src: int, cfg: StaticCfg) -> bool:
 
 def _host_chunks(num_src: int) -> Tuple[int, int]:
     """(strong, weak) chunk sizes targeting ~15 s per dispatched program,
-    bucketed to powers of two so few chunk-shaped kernels compile."""
+    bucketed to powers of two so few chunk-shaped kernels compile.
+    APDE_CHUNK_STRONG / APDE_CHUNK_WEAK override for experiments (the
+    strong chunk also bounds the banded-gather window fit: a chunk of C
+    same-color pixels spans ~2C/W reference rows of warp input vs the
+    BAND_ROWS/W-row gather band)."""
+    import os
     budget_rows = 2.5e9
 
     def bucket(target, lo=1 << 14, hi=1 << 19):
@@ -231,8 +236,11 @@ def _host_chunks(num_src: int) -> Tuple[int, int]:
             b *= 2
         return b
 
-    return (bucket(budget_rows / (14 * num_src * 36)),
-            bucket(budget_rows / (15 * num_src * 324)))
+    cs = int(os.environ.get("APDE_CHUNK_STRONG", "0")) \
+        or bucket(budget_rows / (14 * num_src * 36))
+    cw = int(os.environ.get("APDE_CHUNK_WEAK", "0")) \
+        or bucket(budget_rows / (15 * num_src * 324))
+    return cs, cw
 
 
 @functools.lru_cache(maxsize=64)
@@ -426,6 +434,129 @@ def _jit_local_refine(shape, num_src, cfg: StaticCfg, chunk: int,
             cfg.prop.strong_radius, cfg.prop.strong_increment,
             sweep_k=sweep_k)
     return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# View-major classify/refine dispatch (see ops.filters view-major section):
+# the host compacts the sweepable (pixel, view) pairs BY VIEW and dispatches
+# fixed-size per-view programs that accumulate weighted cost curves into one
+# numerator array; a final chunked program normalizes and classifies. Each
+# program gathers from ONE per-view quad table with raster-ordered pixels —
+# the banded-gather fast path — and only the selected pairs are evaluated.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_sweep_view(shape, num_src, cfg: StaticCfg, sb: int, ncols: int,
+                    include_now: bool):
+    num_steps = ncols - int(include_now)
+
+    def f(data, state, acc, x, y, pos, view, geom_factor):
+        return filters.sweep_curve_view(
+            data, state, acc, x, y, pos, view, cfg.prop.use_sa,
+            cfg.prop.geom_consistency, geom_factor,
+            cfg.prop.strong_radius, cfg.prop.strong_increment,
+            num_steps=num_steps, include_now=include_now)
+    return jax.jit(f, donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_classify_finish(shape, num_src, cfg: StaticCfg, chunk: int,
+                         return_curve: bool):
+    def f(data, state, x, y, num, weak_peak_radius, depth_min, depth_max):
+        return filters.classify_from_curve(
+            data, state, x, y, num, weak_peak_radius, depth_min, depth_max,
+            return_curve=return_curve)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_refine_finish(shape, num_src, cfg: StaticCfg, chunk: int):
+    def f(data, state, x, y, num, depth_min, depth_max):
+        return filters.refine_from_curve(data, state, x, y, num,
+                                         depth_min, depth_max)
+    return jax.jit(f)
+
+
+def _view_major_sb(ncols: int) -> int:
+    """Per-view program batch, sized for ~1.5 s of fast-path gathers
+    (0.6 G rows / ncols / 36 taps, power-of-two); APDE_VIEW_SB overrides."""
+    import os
+    env = int(os.environ.get("APDE_VIEW_SB", "0"))
+    if env:
+        return env
+    target = 0.6e9 / (ncols * 36)
+    b = 1 << 14
+    while b * 2 <= min(target, 1 << 19):
+        b *= 2
+    return b
+
+
+def _use_view_major(data, sel_count_map, mask, sweep_k: int) -> bool:
+    """Static chooser for the classify/refine sweeps: view-major pays
+    avg-selection fast-rate gathers per pixel-step plus compaction overhead
+    (x1.3 margin); the alternative is `_sweep_cost`'s best of K slot gathers
+    on the slow flat table (x390/181 per row) or all-S fast-path gathers.
+    APDE_VIEW_MAJOR=0/1 overrides."""
+    import os
+    env = os.environ.get("APDE_VIEW_MAJOR", "")
+    if env in ("0", "1"):
+        return env == "1"
+    if data.src_quads.dtype != jnp.uint8 or not bool(mask.any()):
+        return False
+    from ..ops.cost import prefer_view_slots
+    avg_sel = float(sel_count_map[mask].mean())
+    alt = sweep_k * (390.0 / 181.0) if prefer_view_slots(data, sweep_k) \
+        else float(data.num_src)
+    return avg_sel * 1.3 < alt
+
+
+def _view_major_run(data, state, mask, sel_np, cfg: StaticCfg, ncols: int,
+                    include_now: bool, finish, gf, chunk: int):
+    """Run a view-major sweep over `mask`'s pixels: per-(view, slice)
+    accumulation programs, then `finish(x, y, acc_chunk)` per pixel chunk.
+    Returns ((rows, cols), finish outputs) like `run_patchmatch._chunked`."""
+    shape = (data.height, data.width)
+    S = data.num_src
+    cyy, cxx = np.nonzero(mask)
+    n = len(cxx)
+    if n == 0:
+        return (cyy, cxx), []
+    npad = -(-n // chunk) * chunk
+    x_all = np.pad(cxx, (0, npad - n)).astype(np.int32)
+    y_all = np.pad(cyy, (0, npad - n)).astype(np.int32)
+    sb = _view_major_sb(ncols)
+    sweep = _jit_sweep_view(shape, S, cfg, sb, ncols, include_now)
+    sel_at = sel_np[cyy, cxx]                     # (n, S)
+    acc = jnp.zeros((npad, ncols), jnp.float32)
+    dispatched = 0
+    for s in range(S):
+        pos = np.nonzero(sel_at[:, s])[0].astype(np.int32)
+        for off in range(0, len(pos), sb):
+            part = pos[off:off + sb]
+            m = len(part)
+            xs = np.zeros(sb, np.int32)
+            ys = np.zeros(sb, np.int32)
+            # padding rows scatter out of range (dropped); keep pos sorted
+            # and unique so the scatter-add lowers without a sort pass
+            ps = npad + np.arange(sb, dtype=np.int32)
+            xs[:m] = cxx[part]
+            ys[:m] = cyy[part]
+            ps[:m] = part
+            acc = sweep(data, state, acc, jnp.asarray(xs), jnp.asarray(ys),
+                        jnp.asarray(ps), jnp.int32(s), gf)
+            dispatched += 1
+            if dispatched % 16 == 0:
+                # sliding completion barrier (see ops.propagation._throttle:
+                # async dispatch allocates every queued program's temps)
+                np.asarray(jax.device_get(acc[0, 0]))
+    outs = []
+    for ci in range(npad // chunk):
+        sl = slice(ci * chunk, (ci + 1) * chunk)
+        outs.append(finish(jnp.asarray(x_all[sl]), jnp.asarray(y_all[sl]),
+                           acc[sl]))
+        _throttle(outs)
+    return (cyy, cxx), outs
 
 
 def _sweep_view_bucket(max_selected: int, num_src: int) -> int:
@@ -634,15 +765,26 @@ def run_patchmatch(
             _throttle(outs)
         return (cyy, cxx), outs
 
-    classify = _jit_classify(shape, S, cfg, chunk, export_curve, sweep_k)
     # curve export is a debug mode: sweep everything so the exported curve
     # covers every pixel, as the reference's exporter does
     cls_mask = np.ones((h, w), bool) if export_curve \
         else (sweepable & ~margin_np)
-    (cls_y, cls_x), outs = _chunked(
-        lambda cx, cy: classify(data, state, cx, cy,
-                                jnp.int32(params.weak_peak_radius), gf,
-                                dmin, dmax), cls_mask)
+    use_vm = _use_view_major(data, sel_count_map, sweepable, sweep_k)
+    sel_np = np.asarray(state.selected) if use_vm else None
+    if use_vm:
+        finish = _jit_classify_finish(shape, S, cfg, chunk, export_curve)
+        (cls_y, cls_x), outs = _view_major_run(
+            data, state, cls_mask, sel_np, cfg,
+            filters.RELIABLE_CURVE_SAMPLE_NUM, False,
+            lambda cx, cy, acc: finish(data, state, cx, cy, acc,
+                                       jnp.int32(params.weak_peak_radius),
+                                       dmin, dmax), gf, chunk)
+    else:
+        classify = _jit_classify(shape, S, cfg, chunk, export_curve, sweep_k)
+        (cls_y, cls_x), outs = _chunked(
+            lambda cx, cy: classify(data, state, cx, cy,
+                                    jnp.int32(params.weak_peak_radius), gf,
+                                    dmin, dmax), cls_mask)
     weak_map = np.full((h, w), UNKNOWN, np.int32)
     reliable_curve = None
     if outs:
@@ -660,9 +802,17 @@ def run_patchmatch(
     if params.geom_consistency or use_apd:
         state = _jit_confidence(shape, S)(data, state)
     _mark("confidence", state.confidence)
-    refine = _jit_local_refine(shape, S, cfg, chunk, sweep_k)
-    (ref_y, ref_x), outs = _chunked(
-        lambda cx, cy: refine(data, state, cx, cy, gf, dmin, dmax), sweepable)
+    if use_vm:
+        rfinish = _jit_refine_finish(shape, S, cfg, chunk)
+        (ref_y, ref_x), outs = _view_major_run(
+            data, state, sweepable, sel_np, cfg, 12, True,
+            lambda cx, cy, acc: rfinish(data, state, cx, cy, acc, dmin, dmax),
+            gf, chunk)
+    else:
+        refine = _jit_local_refine(shape, S, cfg, chunk, sweep_k)
+        (ref_y, ref_x), outs = _chunked(
+            lambda cx, cy: refine(data, state, cx, cy, gf, dmin, dmax),
+            sweepable)
     depth_map = depth_map.copy()
     if outs:
         depth_map[ref_y, ref_x] = np.concatenate(

@@ -87,3 +87,24 @@ def test_host_mode_apd_pass_runs(monkeypatch):
     rel = np.abs(d[ok] - gt[ok]) / gt[ok]
     assert np.median(rel) < 0.01, np.median(rel)
     assert (d > 0).mean() > 0.8
+
+
+def test_view_major_pass_matches_pixel_major(monkeypatch):
+    """run_patchmatch with the view-major classify/refine dispatch forced on
+    must reproduce the pixel-major pass (same sweeps, only classification /
+    refine summation order differs)."""
+    scene = synthetic.make_scene(num_views=4, height=64, width=96,
+                                 weak_region=(-0.35, 0.35, -0.3, 0.3))
+    schedule = cfg_mod.build_schedule(96, "General", use_sa=False, base=96)
+    params = schedule[0].params
+
+    monkeypatch.setenv("APDE_VIEW_MAJOR", "0")
+    out_pm = _run_pass(scene, params, False)
+    monkeypatch.setenv("APDE_VIEW_MAJOR", "1")
+    monkeypatch.setenv("APDE_VIEW_SB", "1500")   # force sub-batch splits
+    out_vm = _run_pass(scene, params, False)
+
+    agree = (out_pm.weak == out_vm.weak).mean()
+    assert agree > 0.98, agree
+    close = np.isclose(out_pm.depth, out_vm.depth, rtol=1e-4)
+    assert close.mean() > 0.98, close.mean()

@@ -373,9 +373,19 @@ def run_scan(dense_folder, dataset: str = "General", *,
               flush=True)
         # debug exports (anchors/curves) need the serial engine's host stages
         debug_pass = spec.is_last_iteration and (export_anchor or export_curve)
+        # the SPMD view-parallel pass is ONE device program; at shapes where
+        # that would blow the worker's execution budget (full-res rounds),
+        # fall back to the serial host-dispatched engine for this pass (the
+        # file interchange lets engines alternate at pass boundaries)
         if runner is not None and not debug_pass:
-            runner.run_pass(spec)
-            continue
+            from .patchmatch import _iterations_host_mode
+            eff = (-(-img0.shape[0] // spec.scale_size),
+                   -(-img0.shape[1] // spec.scale_size))
+            n_src = max(len(p.src_image_ids) for p in problems)
+            if not _iterations_host_mode(eff, n_src,
+                                         spec.params.max_iterations):
+                runner.run_pass(spec)
+                continue
         for problem in problems:
             process_problem(
                 problem, spec, cache=cache, seed=seed,

@@ -211,12 +211,16 @@ def _jit_iterations(shape, num_src, cfg: StaticCfg, nw: int):
 # shapes, so runs remain deterministic.
 # ---------------------------------------------------------------------------
 
-def _iterations_host_mode(shape, num_src: int, cfg: StaticCfg) -> bool:
+def _iterations_host_mode(shape, num_src: int, cfg) -> bool:
+    """True when the fused iterations program would exceed the remote
+    worker's ~60 s execution budget. `cfg` is a StaticCfg or a bare
+    max_iterations int (the scan driver probes per-pass shapes with it)."""
     h, w = shape
+    iters = cfg if isinstance(cfg, int) else cfg.max_iterations
     # measured u8 row-gather rates: ~380 M rows/s for bench-size tables,
     # plateauing at ~170 M beyond ~1.5 M rows (gather_locality_probe)
     rate = 380e6 if h * w <= 600_000 else 170e6
-    rows = cfg.max_iterations * 2 * 14 * (h * w / 2) * num_src * 36
+    rows = iters * 2 * 14 * (h * w / 2) * num_src * 36
     return rows / rate > 35.0
 
 

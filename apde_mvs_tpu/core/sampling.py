@@ -75,8 +75,30 @@ BAND_ROWS = 786432
 
 _BANDED = os.environ.get("APDE_BANDED_GATHER", "1") != "0"
 
+# APDE_BAND_STATS=1: count fast/slow branch executions per call site (host
+# callback per gather — CPU diagnostic runs only; the axon TPU tunnel does
+# not support host callbacks). BAND_STATS: site -> [fast, slow] call counts.
+_BAND_STATS_ON = os.environ.get("APDE_BAND_STATS", "") == "1"
+BAND_STATS: dict = {}
 
-def banded_take(tab: jnp.ndarray, idx):
+# APDE_BAND_SITES: comma list of call sites that ride the banded gather
+# ("all" = every site; "" = none). Site names: strong, classify,
+# weak_center, weak_anchor. Used to A/B the cond wrapper's net effect per
+# site on real workloads (PERF_NOTES "banded cond regression").
+_BAND_SITES = os.environ.get("APDE_BAND_SITES", "all")
+
+
+def site_banded(site: str) -> bool:
+    """True when the banded gather is enabled for this call site."""
+    return _BAND_SITES == "all" or site in _BAND_SITES.split(",")
+
+
+def _record_band(site: str, fits) -> None:
+    c = BAND_STATS.setdefault(site, [0, 0])
+    c[0 if bool(fits) else 1] += 1
+
+
+def banded_take(tab: jnp.ndarray, idx, site: str = "?"):
     """Row gather from a big (N, C) table through a BAND_ROWS window when
     the index span fits (fast path), full-table gather when it does not.
     Results are bitwise identical to ``jnp.take(tab, idx, axis=0)``."""
@@ -84,6 +106,10 @@ def banded_take(tab: jnp.ndarray, idx):
     lo = jnp.min(idx).astype(jnp.int32)
     hi = jnp.max(idx).astype(jnp.int32)
     start = jnp.clip(lo, 0, n - BAND_ROWS)
+    fits = hi - start < BAND_ROWS
+    if _BAND_STATS_ON:
+        import functools
+        jax.debug.callback(functools.partial(_record_band, site), fits)
 
     def fast(_):
         band = jax.lax.dynamic_slice(tab, (start, 0), (BAND_ROWS, c))
@@ -92,7 +118,7 @@ def banded_take(tab: jnp.ndarray, idx):
     def slow(_):
         return jnp.take(tab, idx, axis=0)
 
-    return jax.lax.cond(hi - start < BAND_ROWS, fast, slow, None)
+    return jax.lax.cond(fits, fast, slow, None)
 
 
 def _use_band(tab: jnp.ndarray) -> bool:
@@ -101,10 +127,18 @@ def _use_band(tab: jnp.ndarray) -> bool:
     return _BANDED and tab.dtype == jnp.uint8 and tab.shape[0] > BAND_ROWS
 
 
-def bilinear_sample_packed(quad: jnp.ndarray, width: int, height: int, x, y):
-    """Bilinear sample from a pack_bilinear[_u8]() layout. x, y any shape."""
+def bilinear_sample_packed(quad: jnp.ndarray, width: int, height: int, x, y,
+                           band: bool | None = None, site: str = "?"):
+    """Bilinear sample from a pack_bilinear[_u8]() layout. x, y any shape.
+
+    `band` gates the banded big-table fast path per CALL SITE: None = on
+    wherever it can pay (`_use_band`), False = plain full-table gather.
+    Sites whose index spans rarely fit BAND_ROWS (measured via
+    APDE_BAND_STATS) should pass False — the cond wrapper then only costs
+    fusion breaks and min/max reductions on the slow branch."""
     idx, fx, fy = quad_coords(width, height, x, y)
-    rows = banded_take(quad, idx) if _use_band(quad) \
+    use = _use_band(quad) and (site_banded(site) if band is None else band)
+    rows = banded_take(quad, idx, site) if use \
         else jnp.take(quad, idx, axis=0)
     return lerp_quad_rows(rows, fx, fy)
 

@@ -201,12 +201,14 @@ def precompute_ref_window(data: CostData, x, y, radius: int, increment: int,
     return RefWindow(dx, dy, val, w, sum_ref, sum_rr, w.sum(-1))
 
 
-def sample_src_view(data: CostData, src_index, wx, wy):
+def sample_src_view(data: CostData, src_index, wx, wy,
+                    band: bool | None = None, site: str = "?"):
     """Bilinear-sample source view `src_index` at warped positions (the CUDA
     texture-fetch replacement; reference APD.cu:617). The quad table is u8
-    (default) or f32 (exact oracle); bilinear_sample_packed handles both."""
+    (default) or f32 (exact oracle); bilinear_sample_packed handles both.
+    band/site: per-call-site banded-gather control (core.sampling)."""
     return bilinear_sample_packed(data.src_quads[src_index], data.width,
-                                  data.src_h, wx, wy)
+                                  data.src_h, wx, wy, band=band, site=site)
 
 
 def _clamped_fetch(arr, xi, yi):
@@ -241,7 +243,8 @@ def ncc_from_sums(sum_ref, sum_rr, sum_src, sum_ss, sum_rs, wsum):
     return jnp.where(degenerate, COST_MAX, cost)
 
 
-def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow):
+def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow,
+                  band: bool | None = None, site: str = "strong"):
     """NCC cost of `plane` at pixels (x, y) against one source view.
 
     x, y: (B,) f32; plane: (B, 4). Returns (B,) cost. All taps are evaluated
@@ -256,7 +259,7 @@ def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow):
     tx = x[..., None] + win.tap_dx                       # (B, T)
     ty = y[..., None] + win.tap_dy
     wx, wy = geo.warp(H[..., None, :, :], tx, ty)
-    sv = sample_src_view(data, src_index, wx, wy)
+    sv = sample_src_view(data, src_index, wx, wy, band=band, site=site)
     tw = win.tap_w
     s_src = (tw * sv).sum(-1)
     s_ss = (tw * sv * sv).sum(-1)

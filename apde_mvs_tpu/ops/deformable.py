@@ -23,7 +23,7 @@ import numpy as np
 from ..core import geometry as geo
 from ..core.sampling import fetch
 from . import cost as cost_ops
-from ..core.sampling import BAND_ROWS
+from ..core.sampling import BAND_ROWS, site_banded
 from .cost import COST_MAX, CostData, MIN_VAR, RefWindow, sample_src_view
 
 
@@ -135,7 +135,7 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
     ctx = x[..., None] + win.tap_dx
     cty = y[..., None] + win.tap_dy
     cwx, cwy = geo.warp(H[..., None, :, :], ctx, cty)
-    csv = sample_src_view(data, src_index, cwx, cwy)
+    csv = sample_src_view(data, src_index, cwx, cwy, site="weak_center")
     ctw = win.tap_w
     center_cost = cost_ops.ncc_from_sums(
         win.sum_ref, win.sum_rr, (ctw * csv).sum(-1),
@@ -150,17 +150,20 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
     tx = wref.anchor_x[..., None] + wk[None, None, :, 0]
     ty = wref.anchor_y[..., None] + wk[None, None, :, 1]
     wx, wy = geo.warp(H[..., None, None, :, :], tx, ty)
-    if data.src_quads.shape[1] > BAND_ROWS:
-        # Big tables ride the banded fast gather (core.sampling.banded_take)
-        # only when one gather's index span fits a 3 MiB band. The 8 anchors
-        # of a pixel can sit far apart (anchor reach is thousands of px) but
-        # each anchor SLOT is spatially coherent across a compacted chunk,
-        # so gather slot-by-slot instead of one (B, 8, T') fused gather —
-        # same total rows, per-slot windows.
-        sv = jnp.stack([sample_src_view(data, src_index, wx[:, a], wy[:, a])
+    if data.src_quads.shape[1] > BAND_ROWS and site_banded("weak_anchor"):
+        # Banded big-table gathers need a narrow index span per gather.
+        # Anchor slots are ordered by fit quality (reference sorts inliers
+        # by plane distance, APD.cu:2060-2080), so even one slot's anchors
+        # point in arbitrary directions across a chunk — per-slot gathers
+        # are this path's best coherence, and full-res A/Bs still measured
+        # a net regression (PERF_NOTES "banded cond regression"); the site
+        # is therefore band-disabled by default and this branch exists for
+        # re-measurement via APDE_BAND_SITES.
+        sv = jnp.stack([sample_src_view(data, src_index, wx[:, a], wy[:, a],
+                                        site="weak_anchor")
                         for a in range(wx.shape[1])], axis=1)
     else:
-        sv = sample_src_view(data, src_index, wx, wy)
+        sv = sample_src_view(data, src_index, wx, wy, band=False)
     tw = wref.tap_w
     s_src_a = (tw * sv).sum(-1)
     s_ss_a = (tw * sv * sv).sum(-1)

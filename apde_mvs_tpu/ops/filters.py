@@ -413,7 +413,7 @@ def sweep_curve_view(data: CostData, state: PMState, acc, x, y, pos, view,
 
 def _ncc_one_view(data: CostData, s, x, y, plane, win):
     from . import cost as cost_ops
-    return cost_ops._per_view_ncc(data, s, x, y, plane, win)
+    return cost_ops._per_view_ncc(data, s, x, y, plane, win, site="classify")
 
 
 def classify_from_curve(data: CostData, state: PMState, x, y, num,

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--height", type=int, default=2016)
     ap.add_argument("--views", type=int, default=11)
     ap.add_argument("--skip_apd", action="store_true")
+    ap.add_argument("--prior_npz", default="",
+                    help="save pass-A outputs here (or load them, skipping "
+                         "pass A, when the file already exists) so banded/"
+                         "chunk A/B reruns pay for first_init once")
     args = ap.parse_args()
 
     from apde_mvs_tpu.core.platform import enable_compilation_cache
@@ -100,13 +104,30 @@ def main():
             "median_rel_depth_err_pct": round(float(np.median(rel)) * 100, 4),
             "pct_within_1pct": round(float((rel < 0.01).mean()) * 100, 1),
             "mem_gb": mem()}), flush=True)
+        from apde_mvs_tpu.core import sampling
+        if sampling.BAND_STATS:
+            stats = {k: {"fast": v[0], "slow": v[1]}
+                     for k, v in sorted(sampling.BAND_STATS.items())}
+            print(json.dumps({"band_stats": stats}), flush=True)
+            sampling.BAND_STATS.clear()
         return out
 
-    data_a = CostData.build(
-        cams.view(0), geo.CameraArrays(*[a[src_ids] for a in cams]),
-        jnp.asarray(ref_p), jnp.asarray(src_imgs),
-        real_width=W, real_height=H, sampler_u8=True)
-    out_a = run("first_init", first.params, data_a)
+    import os
+    if args.prior_npz and os.path.exists(args.prior_npz):
+        pr = np.load(args.prior_npz)
+        prior = {k: pr[k] for k in
+                 ("depth", "normal", "weak", "confidence")}
+        print(f"loaded pass-A priors from {args.prior_npz}", flush=True)
+    else:
+        data_a = CostData.build(
+            cams.view(0), geo.CameraArrays(*[a[src_ids] for a in cams]),
+            jnp.asarray(ref_p), jnp.asarray(src_imgs),
+            real_width=W, real_height=H, sampler_u8=True)
+        out_a = run("first_init", first.params, data_a)
+        prior = {k: np.asarray(getattr(out_a, k)) for k in
+                 ("depth", "normal", "weak", "confidence")}
+        if args.prior_npz:
+            np.savez_compressed(args.prior_npz, **prior)
     if args.skip_apd:
         return 0
 
@@ -120,15 +141,15 @@ def main():
         jnp.asarray(ref_p), jnp.asarray(src_imgs),
         src_depths=jnp.asarray(src_depths),
         real_width=W, real_height=H, sampler_u8=True)
-    weak = np.asarray(out_a.weak)
+    weak = prior["weak"]
     n_weak = int((weak[:H, :W] == cfg.WEAK).sum())
     print(f"prior weak: {n_weak} / {H * W} = {n_weak / H / W * 100:.1f}%",
           flush=True)
     run("refine_init_apd", refine.params, data_b,
-        prior_depth=np.asarray(out_a.depth),
-        prior_normal=np.asarray(out_a.normal),
+        prior_depth=prior["depth"],
+        prior_normal=prior["normal"],
         prior_weak=weak,
-        prior_confidence=np.asarray(out_a.confidence))
+        prior_confidence=prior["confidence"])
     return 0
 
 

@@ -204,3 +204,55 @@ def test_banded_sampler_bitwise_equals_unbanded():
         want = np.asarray(S.lerp_quad_rows(
             jnp.take(quad, idx, axis=0), fx, fy))
         assert np.array_equal(got, want)
+        # per-call-site opt-out takes the plain gather, same values
+        off = np.asarray(bilinear_sample_packed(quad, w, h, xs, ys,
+                                                band=False))
+        assert np.array_equal(off, want)
+
+
+def test_band_site_gating(monkeypatch):
+    """APDE_BAND_SITES selects which call sites ride the banded gather;
+    results are identical either way (banding is bitwise-neutral). The
+    deformable weak NCC additionally switches its anchor gathers between
+    per-slot (banded) and fused (plain) layouts — pin their agreement on a
+    'big' table by shrinking BAND_ROWS under the test. (Gathered values are
+    bitwise equal; the two layouts reduce window sums in different orders,
+    so costs agree to float tolerance, not bitwise.)"""
+    from apde_mvs_tpu.core import sampling as S
+    import apde_mvs_tpu.ops.deformable as deform
+    from apde_mvs_tpu.config import PatchMatchParams
+    from apde_mvs_tpu.ops.deformable import WeakRefData, ncc_weak
+
+    monkeypatch.setattr(S, "_BAND_SITES", "strong,classify")
+    assert S.site_banded("strong") and S.site_banded("classify")
+    assert not S.site_banded("weak_anchor")
+    monkeypatch.setattr(S, "_BAND_SITES", "all")
+    assert S.site_banded("weak_anchor")
+
+    # make the 48x64 test table count as "big" so the banded paths engage
+    monkeypatch.setattr(S, "BAND_ROWS", 1024)
+    monkeypatch.setattr(deform, "BAND_ROWS", 1024)
+
+    scene, dq, dt = _two_datas()
+    rng = np.random.default_rng(11)
+    B = 32
+    params = PatchMatchParams(use_sa=False)
+    x = jnp.asarray(rng.integers(10, dt.width - 10, B), jnp.float32)
+    y = jnp.asarray(rng.integers(10, dt.height - 10, B), jnp.float32)
+    anchors = np.full((B, 9, 2), -1, np.int32)
+    anchors[:, 0, 0] = np.asarray(x, np.int32)
+    anchors[:, 0, 1] = np.asarray(y, np.int32)
+    for a in range(1, 5):
+        anchors[:, a, 0] = rng.integers(8, dt.width - 8, B)
+        anchors[:, a, 1] = rng.integers(8, dt.height - 8, B)
+    anchors = jnp.asarray(anchors)
+    selected = jnp.ones((dt.height, dt.width, dt.num_src), bool)
+    n = np.tile(np.asarray([0.0, 0.0, -1.0]), (B, 1))
+    plane = geo.make_plane(dt.ref_cam, x, y,
+                           jnp.asarray(rng.uniform(3.2, 4.8, B), jnp.float32),
+                           jnp.asarray(n, jnp.float32))
+    wref = WeakRefData.build(dt, x, y, anchors, selected, params)
+    banded = np.asarray(ncc_weak(dt, wref, plane, params))   # per-slot banded
+    monkeypatch.setattr(S, "_BAND_SITES", "")
+    plain = np.asarray(ncc_weak(dt, wref, plane, params))    # fused plain
+    np.testing.assert_allclose(banded, plain, rtol=0, atol=1e-5)

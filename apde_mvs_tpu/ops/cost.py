@@ -405,19 +405,9 @@ def geom_cost(data: CostData, x, y, plane) -> jnp.ndarray:
     """Geometric consistency cost vector (B, S): forward-backward reprojection
     distance against source depth maps, clamped to 3; missing source depth
     costs 3 (reference: ComputeGeomConsistencyCost, APD.cu:865-902)."""
-    depth = geo.depth_from_plane(data.ref_cam, plane, x, y)
-    Xw = geo.backproject_world(data.ref_cam, x, y, depth)
 
     def body(s, _):
-        src_cam = data.src_cams.view(s)
-        sx, sy, _sd = geo.project(src_cam, Xw)
-        src_depth = texel_fetch(data.src_depths[s], sx, sy)
-        Xs = geo.backproject_world(src_cam, sx, sy, src_depth)
-        bx, by, _bd = geo.project(data.ref_cam, Xs)
-        dist = jnp.sqrt((x - bx) ** 2 + (y - by) ** 2)
-        cost = jnp.minimum(GEOM_COST_MAX, dist)
-        bad = (src_depth == 0.0) | ~jnp.isfinite(cost)
-        return s + 1, jnp.where(bad, GEOM_COST_MAX, cost)
+        return s + 1, geom_one_view(data, s, x, y, plane)
 
     _, costs = jax.lax.scan(body, 0, None, length=data.num_src)
     return jnp.moveaxis(costs, 0, -1)

@@ -178,33 +178,19 @@ _MAX_SWEEP_VIEWS = 8
 def _sweep_setup(data: CostData, state: PMState, x, y,
                  sweep_k: int = _MAX_SWEEP_VIEWS) -> _SweepSetup:
     """Shared setup of the disparity sweeps (reference: APD.cu:2121-2157,
-    2356-2401): plane to camera frame, mean baseline of selected views,
-    selection-gated view weights. The selected views are compacted to at
-    most `sweep_k` per-pixel slots so the sweeps only sample views the
-    reference's `isSet(selected_views)` loops would touch; the caller may
-    shrink `sweep_k` to the actual max per-pixel selection count (the sweep
-    cost is linear in it)."""
-    xf = x.astype(jnp.float32)
-    yf = y.astype(jnp.float32)
-    plane_world = fetch(state.planes, x, y)
-    plane_cam = geo.normal_world_to_cam(data.ref_cam.R, plane_world)
-    depth = plane_cam[..., 3]
-    sel = fetch(state.selected, x, y)
-    vw_all = fetch(state.view_weights, x, y)
-    vw = jnp.where(sel, vw_all, 0.0)
-    wnorm = vw.sum(-1)
-    dists = jnp.linalg.norm(data.ref_cam.c[None, :] - data.src_cams.c, axis=-1)
-    valid_src = sel.sum(-1)
-    base_line = jnp.where(sel, dists[None, :], 0.0).sum(-1) \
-        / jnp.maximum(valid_src, 1)
-    disp = data.ref_cam.fx * base_line / jnp.where(depth != 0, depth, 1.0)
-    ok = (depth != 0) & (valid_src > 0)
+    2356-2401): the per-pixel scalars from `_sweep_scalars` plus the
+    selected views compacted to at most `sweep_k` per-pixel slots, so the
+    sweeps only sample views the reference's `isSet(selected_views)` loops
+    would touch; the caller may shrink `sweep_k` to the actual max
+    per-pixel selection count (the sweep cost is linear in it)."""
+    sc = _sweep_scalars(data, state, x, y)
     K = min(data.num_src, sweep_k)
-    order = jnp.argsort(~sel, axis=-1, stable=True)[:, :K]
-    sel_valid = jnp.take_along_axis(sel, order, -1)
-    sel_w = jnp.take_along_axis(vw, order, -1)
-    return _SweepSetup(ok, plane_cam, depth, disp, base_line,
-                       order.astype(jnp.int32), sel_valid, sel_w, wnorm, vw)
+    order = jnp.argsort(~sc.sel, axis=-1, stable=True)[:, :K]
+    sel_valid = jnp.take_along_axis(sc.sel, order, -1)
+    sel_w = jnp.take_along_axis(sc.vw, order, -1)
+    return _SweepSetup(sc.ok, sc.plane_cam, sc.depth, sc.disp, sc.base_line,
+                       order.astype(jnp.int32), sel_valid, sel_w, sc.wnorm,
+                       sc.vw)
 
 
 def _sweep_cost(data: CostData, setup: _SweepSetup, win: RefWindow, x, y,
@@ -345,6 +331,7 @@ class _SweepScalars(NamedTuple):
     base_line: jnp.ndarray   # (B,)
     wnorm: jnp.ndarray       # (B,)
     vw: jnp.ndarray          # (B, S) selection-gated weights
+    sel: jnp.ndarray         # (B, S) selected-views mask
 
 
 def _sweep_scalars(data: CostData, state: PMState, x, y) -> _SweepScalars:
@@ -362,7 +349,8 @@ def _sweep_scalars(data: CostData, state: PMState, x, y) -> _SweepScalars:
         / jnp.maximum(valid_src, 1)
     disp = data.ref_cam.fx * base_line / jnp.where(depth != 0, depth, 1.0)
     ok = (depth != 0) & (valid_src > 0)
-    return _SweepScalars(ok, plane_cam, depth, disp, base_line, wnorm, vw)
+    return _SweepScalars(ok, plane_cam, depth, disp, base_line, wnorm, vw,
+                         sel)
 
 
 def sweep_curve_view(data: CostData, state: PMState, acc, x, y, pos, view,
@@ -416,6 +404,27 @@ def _ncc_one_view(data: CostData, s, x, y, plane, win):
     return cost_ops._per_view_ncc(data, s, x, y, plane, win, site="classify")
 
 
+def _curve_from_num(data: CostData, sc: _SweepScalars, num, num_steps: int,
+                    depth_min, depth_max):
+    """Shared finisher math of the view-major sweeps: reconstruct
+    `sweep_curve_view`'s probe depths bit-for-bit, normalize the
+    scatter-accumulated numerator `num` by the selection weight sum, and
+    COST_MAX-mask zero-weight pixels and out-of-range probes. Returns
+    (p_depth (B, num_steps), masked sweep curve, unmasked normalized
+    curve) — the last carries any extra columns of `num` (LocalRefine's
+    cost_now), which are never depth-range-masked."""
+    radius = (num_steps - 1) // 2
+    steps = (jnp.arange(num_steps) - radius).astype(jnp.float32)
+    denom = jnp.where(sc.disp[:, None] + steps[None, :] != 0,
+                      sc.disp[:, None] + steps[None, :], 1e-20)
+    p_depth = data.ref_cam.fx * sc.base_line[:, None] / denom
+    mean = num / jnp.maximum(sc.wnorm[:, None], 1e-20)
+    c = jnp.where(sc.wnorm[:, None] > 0, mean, COST_MAX)
+    in_range = (p_depth >= depth_min) & (p_depth <= depth_max)
+    masked = jnp.where(in_range, c[:, :num_steps], COST_MAX)
+    return p_depth, masked, c
+
+
 def classify_from_curve(data: CostData, state: PMState, x, y, num,
                         weak_peak_radius, depth_min, depth_max,
                         return_curve: bool = False,
@@ -425,15 +434,9 @@ def classify_from_curve(data: CostData, state: PMState, x, y, num,
     wnorm/depth-range/COST_MAX masking as `_sweep_cost` + `depth_to_weak`,
     then run the shared peak classification."""
     sc = _sweep_scalars(data, state, x, y)
-    radius = (num_steps - 1) // 2
-    steps = (jnp.arange(num_steps) - radius).astype(jnp.float32)
-    denom = jnp.where(sc.disp[:, None] + steps[None, :] != 0,
-                      sc.disp[:, None] + steps[None, :], 1e-20)
-    p_depth = data.ref_cam.fx * sc.base_line[:, None] / denom     # (B, 61)
-    mean = num / jnp.maximum(sc.wnorm[:, None], 1e-20)
-    c = jnp.where(sc.wnorm[:, None] > 0, mean, COST_MAX)
-    in_range = (p_depth >= depth_min) & (p_depth <= depth_max)
-    curve = jnp.minimum(jnp.where(in_range, c, COST_MAX), COST_MAX)
+    _, masked, _ = _curve_from_num(data, sc, num, num_steps,
+                                   depth_min, depth_max)
+    curve = jnp.minimum(masked, COST_MAX)
     new_weak = _classify_peaks(data, state, x, y, curve, weak_peak_radius,
                                sc.ok)
     return new_weak, (curve if return_curve else None)
@@ -447,17 +450,9 @@ def refine_from_curve(data: CostData, state: PMState, x, y, num,
     sweep depth when it improves the current cost by > 0.1 and beats the
     COST_MAX init (reference: LocalRefine, APD.cu:2403-2430)."""
     sc = _sweep_scalars(data, state, x, y)
-    radius = (num_steps - 1) // 2
-    steps = (jnp.arange(num_steps) - radius).astype(jnp.float32)
-    denom = jnp.where(sc.disp[:, None] + steps[None, :] != 0,
-                      sc.disp[:, None] + steps[None, :], 1e-20)
-    p_depth = data.ref_cam.fx * sc.base_line[:, None] / denom
-    mean = num / jnp.maximum(sc.wnorm[:, None], 1e-20)
-    c = jnp.where(sc.wnorm[:, None] > 0, mean, COST_MAX)
+    p_depth, sweep, c = _curve_from_num(data, sc, num, num_steps,
+                                        depth_min, depth_max)
     cost_now = c[:, num_steps]                # never depth-range-masked
-    sweep = c[:, :num_steps]
-    in_range = (p_depth >= depth_min) & (p_depth <= depth_max)
-    sweep = jnp.where(in_range, sweep, COST_MAX)
     # fori parity: the COST_MAX/current-depth init only loses to a STRICTLY
     # cheaper step, and the earliest minimal step wins ties — a leading
     # virtual column + first-min argmin reproduces both

@@ -37,7 +37,8 @@ from ..core import geometry as geo
 from ..core.sampling import pack_bilinear, pack_bilinear_u8
 from ..ops.cost import CostData
 from ..ops.state import PMState
-from ..pipeline.full_pass import PassStatic, full_pass
+from ..pipeline.full_pass import PassStatic, pass_classify, pass_finish, \
+    pass_sweeps
 from .mesh import make_mesh
 
 
@@ -92,73 +93,136 @@ def dummy_camera(like_K: np.ndarray) -> tuple:
         np.zeros(3, np.float32)
 
 
-def _pass_body(scene: ScenePassInputs, ransac_threshold, weak_peak_radius,
-               geom_factor, cfg: PassStatic, S: int, real_w: int, real_h: int,
-               geom_or_apd: bool, axis: str) -> ScenePassOutputs:
-    """shard_map body: full pass for each local view, ICI depth exchange."""
+def _gathered_depths(scene: ScenePassInputs, axis: str) -> jnp.ndarray:
+    """All reference views' prior depths: in-batch rows via one ICI
+    all_gather, then a zero row (missing source) and the out-of-batch
+    file-interchange rows — the depth_slot addressing contract."""
+    _, h, w = scene.prior_depth.shape
+    all_depths = jax.lax.all_gather(scene.prior_depth, axis, tiled=True)
+    return jnp.concatenate(
+        [all_depths, jnp.zeros((1, h, w), jnp.float32),
+         scene.ext_depth], axis=0)
+
+
+def _view_setup(scene: ScenePassInputs, all_depths, i, cfg: PassStatic,
+                S: int, real_w: int, real_h: int, axis: str):
+    """CostData + global problem index for local view `i` (shard_map body
+    context). `all_depths` is `_gathered_depths` output, or None on
+    photometric passes."""
     Vl, h, w = scene.prior_depth.shape
     cams = geo.CameraArrays(scene.cam_K, scene.cam_R, scene.cam_t,
                             scene.cam_c)
-    my_shard = jax.lax.axis_index(axis)
+    g = jax.lax.axis_index(axis) * Vl + i
+    ref = scene.ref_slot[g]
+    pair_row = scene.pair[g]                     # (S,) table slots
+    src_cams = geo.CameraArrays(*[a[pair_row] for a in cams])
+    src_imgs = scene.images[pair_row]            # (S, H, W)
+    ref_img = scene.images[ref]
+    if cfg.sampler_u8:
+        # u8 quads (core.sampling): ~2.4x gather rate. The image table
+        # is already u8 (rounded once host-side, _RoundData) so both
+        # sides share the integer photometric grid and the replicated
+        # table costs 1 byte/px/view.
+        quads = jax.vmap(pack_bilinear)(src_imgs) \
+            if src_imgs.dtype == jnp.uint8 \
+            else jax.vmap(pack_bilinear_u8)(src_imgs)
+        ref_img = jnp.clip(jnp.round(ref_img.astype(jnp.float32)),
+                           0.0, 255.0)
+    else:
+        quads = jax.vmap(pack_bilinear)(src_imgs)
+    if all_depths is not None:
+        src_depths = all_depths[scene.depth_slot[pair_row]]
+    else:
+        src_depths = jnp.zeros((S, h, w), jnp.float32)
+    data = CostData(
+        ref_cam=cams.view(ref), src_cams=src_cams,
+        ref_image=ref_img, src_quads=quads,
+        sa_mask=scene.sa[i], src_depths=src_depths,
+        width=w, height=h, num_src=S,
+        real_width=real_w, real_height=real_h)
+    return data, g
 
-    if geom_or_apd:
-        all_depths = jax.lax.all_gather(scene.prior_depth, axis, tiled=True)
-        # row Vp = missing-source depth (all zeros); rows Vp+1.. = priors of
-        # reference views outside this view batch (file interchange)
-        all_depths = jnp.concatenate(
-            [all_depths, jnp.zeros((1, h, w), jnp.float32),
-             scene.ext_depth], axis=0)
+
+def _prior_state(scene: ScenePassInputs, i, cfg: PassStatic, S: int
+                 ) -> PMState:
+    _, h, w = scene.prior_depth.shape
+    state = PMState.create(h, w, S, valid=scene.valid)
+    if cfg.use_apd:
+        state = state.replace(
+            weak=jnp.where(scene.valid, scene.prior_weak[i], UNKNOWN),
+            confidence=scene.prior_conf[i])
+    if not cfg.first_init:
+        state = state.replace(planes=jnp.concatenate(
+            [scene.prior_normal[i], scene.prior_depth[i][..., None]], -1))
+    return state
+
+
+def _stacked_zeros(template: PMState, Vl: int) -> PMState:
+    return jax.tree_util.tree_map(
+        lambda a: jnp.zeros((Vl,) + a.shape, a.dtype), template)
+
+
+def _sweeps_body(scene, ransac_threshold, geom_factor, cfg: PassStatic,
+                 S: int, real_w: int, real_h: int, geom_or_apd: bool,
+                 axis: str) -> PMState:
+    """Stage-1 shard_map body: APD setup + sweeps for each local view (ICI
+    depth exchange inside). Returns the post-sweep state stacked (Vl, ...)."""
+    Vl, h, w = scene.prior_depth.shape
+    all_depths = _gathered_depths(scene, axis) if geom_or_apd else None
+
+    def view_body(i, acc):
+        data, g = _view_setup(scene, all_depths, i, cfg, S, real_w, real_h,
+                              axis)
+        st = pass_sweeps(
+            data, _prior_state(scene, i, cfg, S), scene.weak_x[i],
+            scene.weak_y[i], scene.weak_valid[i], scene.keys[i],
+            ransac_threshold, scene.dmin[g], scene.dmax[g], geom_factor, cfg)
+        return jax.tree_util.tree_map(lambda a, b: a.at[i].set(b), acc, st)
+
+    init = _stacked_zeros(PMState.create(h, w, S, valid=scene.valid), Vl)
+    return jax.lax.fori_loop(0, Vl, view_body, init)
+
+
+def _classify_body(scene, stacked: PMState, weak_peak_radius, geom_factor,
+                   cfg: PassStatic, S: int, real_w: int, real_h: int,
+                   geom_or_apd: bool, axis: str) -> jnp.ndarray:
+    """Stage-2 shard_map body: DepthToWeak reclassification per local view.
+    Returns the (Vl, h, w) int32 weak maps."""
+    Vl, h, w = scene.prior_depth.shape
+    all_depths = _gathered_depths(scene, axis) if geom_or_apd else None
+
+    def view_body(i, acc):
+        data, g = _view_setup(scene, all_depths, i, cfg, S, real_w, real_h,
+                              axis)
+        st = jax.tree_util.tree_map(lambda a: a[i], stacked)
+        nw = pass_classify(data, st, weak_peak_radius, scene.dmin[g],
+                           scene.dmax[g], geom_factor, cfg)
+        return acc.at[i].set(nw)
+
+    return jax.lax.fori_loop(0, Vl, view_body,
+                             jnp.zeros((Vl, h, w), jnp.int32))
+
+
+def _finish_body(scene, stacked: PMState, geom_factor, cfg: PassStatic,
+                 S: int, real_w: int, real_h: int, geom_or_apd: bool,
+                 axis: str) -> ScenePassOutputs:
+    """Stage-3 shard_map body: confidence + local refine per local view.
+    `stacked.weak` must already hold stage 2's reclassification."""
+    Vl, h, w = scene.prior_depth.shape
+    all_depths = _gathered_depths(scene, axis) if geom_or_apd else None
 
     def view_body(i, outs):
-        g = my_shard * Vl + i
-        ref = scene.ref_slot[g]
-        pair_row = scene.pair[g]                     # (S,) table slots
-        src_cams = geo.CameraArrays(*[a[pair_row] for a in cams])
-        src_imgs = scene.images[pair_row]            # (S, H, W)
-        ref_img = scene.images[ref]
-        if cfg.sampler_u8:
-            # u8 quads (core.sampling): ~2.4x gather rate. The image table
-            # is already u8 (rounded once host-side, _RoundData) so both
-            # sides share the integer photometric grid and the replicated
-            # table costs 1 byte/px/view.
-            quads = jax.vmap(pack_bilinear)(src_imgs) \
-                if src_imgs.dtype == jnp.uint8 \
-                else jax.vmap(pack_bilinear_u8)(src_imgs)
-            ref_img = jnp.clip(jnp.round(ref_img.astype(jnp.float32)),
-                               0.0, 255.0)
-        else:
-            quads = jax.vmap(pack_bilinear)(src_imgs)
-        if geom_or_apd:
-            src_depths = all_depths[scene.depth_slot[pair_row]]
-        else:
-            src_depths = jnp.zeros((S, h, w), jnp.float32)
-        data = CostData(
-            ref_cam=cams.view(ref), src_cams=src_cams,
-            ref_image=ref_img, src_quads=quads,
-            sa_mask=scene.sa[i], src_depths=src_depths,
-            width=w, height=h, num_src=S,
-            real_width=real_w, real_height=real_h)
-
-        state = PMState.create(h, w, S, valid=scene.valid)
-        if cfg.use_apd:
-            state = state.replace(
-                weak=jnp.where(scene.valid, scene.prior_weak[i], UNKNOWN),
-                confidence=scene.prior_conf[i])
-        if not cfg.first_init:
-            state = state.replace(planes=jnp.concatenate(
-                [scene.prior_normal[i], scene.prior_depth[i][..., None]], -1))
-
-        state = full_pass(
-            data, state, scene.weak_x[i], scene.weak_y[i],
-            scene.weak_valid[i], scene.keys[i], ransac_threshold,
-            weak_peak_radius, scene.dmin[g], scene.dmax[g], geom_factor, cfg)
-
+        data, g = _view_setup(scene, all_depths, i, cfg, S, real_w, real_h,
+                              axis)
+        st = jax.tree_util.tree_map(lambda a: a[i], stacked)
+        st = pass_finish(data, st, scene.dmin[g], scene.dmax[g], geom_factor,
+                         cfg)
         depth, normal, weak, conf, cost = outs
-        return (depth.at[i].set(state.planes[..., 3]),
-                normal.at[i].set(state.planes[..., :3]),
-                weak.at[i].set(state.weak),
-                conf.at[i].set(state.confidence),
-                cost.at[i].set(state.costs))
+        return (depth.at[i].set(st.planes[..., 3]),
+                normal.at[i].set(st.planes[..., :3]),
+                weak.at[i].set(st.weak),
+                conf.at[i].set(st.confidence),
+                cost.at[i].set(st.costs))
 
     init = (jnp.zeros((Vl, h, w), jnp.float32),
             jnp.zeros((Vl, h, w, 3), jnp.float32),
@@ -169,14 +233,36 @@ def _pass_body(scene: ScenePassInputs, ransac_threshold, weak_peak_radius,
     return ScenePassOutputs(*outs)
 
 
+def _scene_specs(axis: str):
+    rep = P()
+    shd = P(axis)
+    return ScenePassInputs(
+        images=rep, cam_K=rep, cam_R=rep, cam_t=rep, cam_c=rep,
+        pair=rep, ref_slot=rep, depth_slot=rep, dmin=rep, dmax=rep,
+        valid=rep,
+        prior_depth=shd, prior_normal=shd, prior_weak=shd, prior_conf=shd,
+        sa=shd, weak_x=shd, weak_y=shd, weak_valid=shd, keys=shd,
+        ext_depth=rep)
+
+
+def _state_specs(axis: str) -> PMState:
+    shd = P(axis)
+    return PMState(planes=shd, costs=shd, selected=shd, view_weights=shd,
+                   weak=shd, confidence=shd, valid=shd)
+
+
 @functools.lru_cache(maxsize=32)
 def build_sharded_full_pass(mesh: Mesh, cfg: PassStatic, S: int,
                             shape: tuple, real_shape: tuple,
                             geom_or_apd: bool, axis: str = "views"):
-    """jit(shard_map(full pass over local views)) for a fixed configuration.
+    """The sharded full pass for a fixed configuration, dispatched as THREE
+    jitted shard_map programs (sweeps / classify / finish) so no single
+    device program exceeds the remote TPU worker's execution-time budget
+    (~80 s hard kill; PERF_NOTES "three failure modes"). The intermediate
+    per-view state stays device-resident and view-sharded between programs.
 
-    One program compiles per (resolution, S, weak bucket, flag set) — the
-    same granularity as the serial engine's kernel cache."""
+    One program set compiles per (resolution, S, weak bucket, flag set) —
+    the same granularity as the serial engine's kernel cache."""
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -184,24 +270,32 @@ def build_sharded_full_pass(mesh: Mesh, cfg: PassStatic, S: int,
 
     rep = P()
     shd = P(axis)
-    in_specs = (ScenePassInputs(
-        images=rep, cam_K=rep, cam_R=rep, cam_t=rep, cam_c=rep,
-        pair=rep, ref_slot=rep, depth_slot=rep, dmin=rep, dmax=rep,
-        valid=rep,
-        prior_depth=shd, prior_normal=shd, prior_weak=shd, prior_conf=shd,
-        sa=shd, weak_x=shd, weak_y=shd, weak_valid=shd, keys=shd,
-        ext_depth=rep),
-        rep, rep, rep)
-    out_specs = ScenePassOutputs(depth=shd, normal=shd, weak=shd,
-                                 confidence=shd, cost=shd)
-
+    scene_specs = _scene_specs(axis)
+    state_specs = _state_specs(axis)
     real_h, real_w = real_shape
+    common = dict(cfg=cfg, S=S, real_w=real_w, real_h=real_h,
+                  geom_or_apd=geom_or_apd, axis=axis)
+
+    sweeps = jax.jit(shard_map(
+        lambda scene, rt, gf: _sweeps_body(scene, rt, gf, **common),
+        mesh=mesh, in_specs=(scene_specs, rep, rep), out_specs=state_specs,
+        check_vma=False))
+    classify = jax.jit(shard_map(
+        lambda scene, st, wpr, gf: _classify_body(scene, st, wpr, gf,
+                                                  **common),
+        mesh=mesh, in_specs=(scene_specs, state_specs, rep, rep),
+        out_specs=shd, check_vma=False))
+    finish = jax.jit(shard_map(
+        lambda scene, st, gf: _finish_body(scene, st, gf, **common),
+        mesh=mesh, in_specs=(scene_specs, state_specs, rep),
+        out_specs=ScenePassOutputs(depth=shd, normal=shd, weak=shd,
+                                   confidence=shd, cost=shd),
+        check_vma=False))
 
     def step(scene, ransac_threshold, weak_peak_radius, geom_factor):
-        return _pass_body(scene, ransac_threshold, weak_peak_radius,
-                          geom_factor, cfg, S, real_w, real_h, geom_or_apd,
-                          axis)
+        st = sweeps(scene, ransac_threshold, geom_factor)
+        new_weak = classify(scene, st, weak_peak_radius, geom_factor)
+        st = st.replace(weak=new_weak)
+        return finish(scene, st, geom_factor)
 
-    mapped = shard_map(step, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_vma=False)
-    return jax.jit(mapped)
+    return step

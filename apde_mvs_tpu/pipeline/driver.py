@@ -373,18 +373,21 @@ def run_scan(dense_folder, dataset: str = "General", *,
               flush=True)
         # debug exports (anchors/curves) need the serial engine's host stages
         debug_pass = spec.is_last_iteration and (export_anchor or export_curve)
-        # the SPMD view-parallel pass is ONE device program; at shapes where
-        # that would blow the worker's execution budget (full-res rounds),
-        # fall back to the serial host-dispatched engine for this pass (the
-        # file interchange lets engines alternate at pass boundaries)
+        # the SPMD view-parallel pass dispatches three programs per batch
+        # (sweeps / classify / finish); bound views-per-device so the worst
+        # stage stays under the worker's execution budget, and fall back to
+        # the serial host-dispatched engine when even a single view's stage
+        # exceeds it (full-res rounds — the file interchange lets engines
+        # alternate at pass boundaries)
         if runner is not None and not debug_pass:
-            from .patchmatch import _iterations_host_mode
+            from .patchmatch import _PROGRAM_BUDGET_S, spmd_stage_seconds
             eff = (-(-img0.shape[0] // spec.scale_size),
                    -(-img0.shape[1] // spec.scale_size))
             n_src = max(len(p.src_image_ids) for p in problems)
-            if not _iterations_host_mode(eff, n_src,
-                                         spec.params.max_iterations):
-                runner.run_pass(spec)
+            per_view = spmd_stage_seconds(eff, n_src, spec.params)
+            if per_view <= _PROGRAM_BUDGET_S:
+                runner.run_pass(spec, max_views_per_device=max(
+                    1, int(_PROGRAM_BUDGET_S / per_view)))
                 continue
         for problem in problems:
             process_problem(

@@ -87,17 +87,12 @@ def _pixel_chunks(h: int, w: int, chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray,
     return xs, ys, total
 
 
-def full_pass(data: CostData, state: PMState, weak_x, weak_y, weak_valid,
-              key, ransac_threshold, weak_peak_radius, depth_min, depth_max,
-              geom_factor, cfg: PassStatic) -> PMState:
-    """One complete PatchMatch pass for one view; fully traceable.
-
-    `state` enters with prior planes = (world normal, depth) for non-first
-    passes (as loaded from depths/normals.bin) and prior weak/confidence for
-    APD passes; it returns with planes = (world normal, refined depth), the
-    reclassified weak map, and confidence — i.e. exactly what the serial
-    driver persists per view.
-    """
+def pass_sweeps(data: CostData, state: PMState, weak_x, weak_y, weak_valid,
+                key, ransac_threshold, depth_min, depth_max,
+                geom_factor, cfg: PassStatic) -> PMState:
+    """Stage 1 of the pass: APD setup, init, iteration sweeps, depth/normal
+    extraction, median filter. Returns the post-sweep state whose planes are
+    (world normal, depth)."""
     h, w = data.height, data.width
     use_weak = cfg.use_apd and cfg.nw_cap > 0
     params = PatchMatchParams(
@@ -163,8 +158,15 @@ def full_pass(data: CostData, state: PMState, weak_x, weak_y, weak_valid,
     state, _ = jax.lax.scan(
         lambda st, color: (filters.median_filter_color(st, color), None),
         state, jnp.arange(2))
+    return state
 
-    # ---- reliability classification over all pixels (lax.map chunks) ------
+
+def pass_classify(data: CostData, state: PMState, weak_peak_radius,
+                  depth_min, depth_max, geom_factor,
+                  cfg: PassStatic) -> jnp.ndarray:
+    """Stage 2: reliability classification (DepthToWeak) over all pixels in
+    lax.map chunks. Returns the (h, w) int32 reclassified weak map."""
+    h, w = data.height, data.width
     xs, ys, total = _pixel_chunks(h, w, cfg.classify_chunk)
 
     def classify_chunk(args):
@@ -177,12 +179,17 @@ def full_pass(data: CostData, state: PMState, weak_x, weak_y, weak_valid,
         return nwk
 
     new_weak = jax.lax.map(classify_chunk, (xs, ys))
-    state = state.replace(
-        weak=new_weak.reshape(-1)[:total].reshape(h, w).astype(jnp.int32))
+    return new_weak.reshape(-1)[:total].reshape(h, w).astype(jnp.int32)
 
-    # ---- confidence + local refine ----------------------------------------
+
+def pass_finish(data: CostData, state: PMState, depth_min, depth_max,
+                geom_factor, cfg: PassStatic) -> PMState:
+    """Stage 3: confidence map + local depth refine. `state.weak` must
+    already hold stage 2's reclassification."""
+    h, w = data.height, data.width
     if cfg.prop.geom_consistency or cfg.use_apd:
         state = filters.compute_confidence(data, state)
+    xs, ys, total = _pixel_chunks(h, w, cfg.classify_chunk)
 
     def refine_chunk(args):
         cx, cy = args
@@ -195,3 +202,24 @@ def full_pass(data: CostData, state: PMState, weak_x, weak_y, weak_valid,
     new_depth = jax.lax.map(refine_chunk, (xs, ys))
     depth_map = new_depth.reshape(-1)[:total].reshape(h, w)
     return state.replace(planes=state.planes.at[..., 3].set(depth_map))
+
+
+def full_pass(data: CostData, state: PMState, weak_x, weak_y, weak_valid,
+              key, ransac_threshold, weak_peak_radius, depth_min, depth_max,
+              geom_factor, cfg: PassStatic) -> PMState:
+    """One complete PatchMatch pass for one view; fully traceable.
+
+    `state` enters with prior planes = (world normal, depth) for non-first
+    passes (as loaded from depths/normals.bin) and prior weak/confidence for
+    APD passes; it returns with planes = (world normal, refined depth), the
+    reclassified weak map, and confidence — i.e. exactly what the serial
+    driver persists per view. Composed of the three stage functions above,
+    which the multi-chip runner also dispatches as SEPARATE programs so no
+    single device program exceeds the remote worker's execution budget."""
+    state = pass_sweeps(data, state, weak_x, weak_y, weak_valid, key,
+                        ransac_threshold, depth_min, depth_max, geom_factor,
+                        cfg)
+    state = state.replace(weak=pass_classify(
+        data, state, weak_peak_radius, depth_min, depth_max, geom_factor,
+        cfg))
+    return pass_finish(data, state, depth_min, depth_max, geom_factor, cfg)

@@ -211,17 +211,42 @@ def _jit_iterations(shape, num_src, cfg: StaticCfg, nw: int):
 # shapes, so runs remain deterministic.
 # ---------------------------------------------------------------------------
 
-def _iterations_host_mode(shape, num_src: int, cfg) -> bool:
+def _gather_rate(h: int, w: int) -> float:
+    """Measured u8 row-gather rates: ~380 M rows/s for bench-size tables,
+    plateauing at ~170 M beyond ~1.5 M rows (gather_locality_probe)."""
+    return 380e6 if h * w <= 600_000 else 170e6
+
+
+# Safety threshold against the remote worker's ~80 s hard program-kill
+# (PERF_NOTES "three failure modes"); programs estimated above it are
+# split / host-dispatched.
+_PROGRAM_BUDGET_S = 35.0
+
+
+def _iterations_host_mode(shape, num_src: int, max_iterations: int) -> bool:
     """True when the fused iterations program would exceed the remote
-    worker's ~60 s execution budget. `cfg` is a StaticCfg or a bare
-    max_iterations int (the scan driver probes per-pass shapes with it)."""
+    worker's ~60 s execution budget."""
     h, w = shape
-    iters = cfg if isinstance(cfg, int) else cfg.max_iterations
-    # measured u8 row-gather rates: ~380 M rows/s for bench-size tables,
-    # plateauing at ~170 M beyond ~1.5 M rows (gather_locality_probe)
-    rate = 380e6 if h * w <= 600_000 else 170e6
-    rows = iters * 2 * 14 * (h * w / 2) * num_src * 36
-    return rows / rate > 35.0
+    rows = max_iterations * 2 * 14 * (h * w / 2) * num_src * 36
+    return rows / _gather_rate(h, w) > _PROGRAM_BUDGET_S
+
+
+def spmd_stage_seconds(shape, num_src: int, params) -> float:
+    """Estimated device seconds of the WORST stage of ONE view's pass in
+    the staged SPMD engine (parallel.scene dispatches sweeps / classify /
+    finish as separate programs). `run_scan` bounds views-per-device so
+    views_per_device * this stays under the worker budget, and falls back
+    to the serial host-dispatched engine when a single view exceeds it."""
+    h, w = shape
+    rate = _gather_rate(h, w)
+    sweep = params.max_iterations * 2 * 14 * (h * w / 2) * num_src * 36
+    if params.use_apd and params.state != "first_init":
+        # weak sweeps + deformable init rescore + anchor probes on top of
+        # the strong sweeps (full-res split measured ~1.5-1.7x)
+        sweep *= 1.6
+    classify = 61 * h * w * num_src * 36
+    refine = 12 * h * w * num_src * 36
+    return max(sweep, classify, refine) / rate
 
 
 def _host_chunks(num_src: int) -> Tuple[int, int]:
@@ -711,7 +736,7 @@ def run_patchmatch(
     key, k_init, k_iter = jax.random.split(key, 3)
     nw_cap = int(weak_x.shape[0]) if nw > 0 else 0
     _mark("apd_setup", state.weak)
-    if _iterations_host_mode(shape, S, cfg):
+    if _iterations_host_mode(shape, S, cfg.max_iterations):
         # large images: one device program per chunk (the fused program
         # would exceed the remote worker's execution budget; see the
         # host-dispatch section above)

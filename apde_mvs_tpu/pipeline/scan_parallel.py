@@ -169,27 +169,33 @@ class ViewParallelRunner:
         n = max(1, min(len(self.problems), budget // per_view))
         return int(n)
 
-    def _batches(self) -> List[List[Problem]]:
+    def _n_devices(self) -> int:
+        import jax
+        return len(jax.devices()) if self.mesh is None \
+            else self.mesh.devices.size
+
+    def _batches(self, cap: Optional[int] = None) -> List[List[Problem]]:
         vb = self.view_batch
         if vb is None:
             vb = self.view_batch = self._auto_view_batch()
+        if cap:
+            vb = min(vb, cap) if vb else cap
         if not vb or vb >= len(self.problems):
             return [self.problems]
         return [self.problems[i:i + vb]
                 for i in range(0, len(self.problems), vb)]
 
-    def _round_data(self, spec: cfg.PassSpec, batch: List[Problem],
-                    batch_idx: int) -> _RoundData:
-        import jax
-
-        n_dev = len(jax.devices()) if self.mesh is None \
-            else self.mesh.devices.size
-        key = (spec.scale_size, batch_idx)
+    def _round_data(self, spec: cfg.PassSpec, batch: List[Problem]
+                    ) -> _RoundData:
+        # keyed by the batch slice itself (first ref id + length), not the
+        # batch index: per-pass execution-budget caps can re-batch the same
+        # scan differently between passes
+        key = (spec.scale_size, batch[0].ref_image_id, len(batch))
         if key not in self._rounds:
             self._rounds = {k: v for k, v in self._rounds.items()
                             if k[0] == spec.scale_size}
             self._rounds[key] = _RoundData(
-                batch, spec.scale_size, self.cache, n_dev,
+                batch, spec.scale_size, self.cache, self._n_devices(),
                 scan_ref_ids=[p.ref_image_id for p in self.problems],
                 sampler_u8=bool(spec.params.sampler_u8))
         return self._rounds[key]
@@ -202,12 +208,21 @@ class ViewParallelRunner:
         return pad_to_multiple(mat.astype(dtype), PAD_H, PAD_W,
                                mode="constant")
 
-    def run_pass(self, spec: cfg.PassSpec) -> None:
-        for bi, batch in enumerate(self._batches()):
-            self._run_pass_batch(spec, batch, bi)
+    def run_pass(self, spec: cfg.PassSpec,
+                 max_views_per_device: Optional[int] = None) -> None:
+        """Run one pass for all views. `max_views_per_device` additionally
+        caps the batch so each device runs at most that many views per
+        program (the driver derives it from the per-stage execution-time
+        estimate; None = memory-based batching only)."""
+        cap = None
+        if max_views_per_device is not None:
+            cap = max_views_per_device * min(self._n_devices(),
+                                             len(self.problems))
+        for batch in self._batches(cap):
+            self._run_pass_batch(spec, batch)
 
-    def _run_pass_batch(self, spec: cfg.PassSpec, problems: List[Problem],
-                        batch_idx: int) -> None:
+    def _run_pass_batch(self, spec: cfg.PassSpec,
+                        problems: List[Problem]) -> None:
         import jax
         import jax.numpy as jnp
         from ..parallel.mesh import make_mesh
@@ -218,7 +233,7 @@ class ViewParallelRunner:
         geom_or_apd = params.geom_consistency or params.use_apd
         use_apd = params.use_apd and params.state != "first_init"
         first_init = params.state == "first_init"
-        rd = self._round_data(spec, problems, batch_idx)
+        rd = self._round_data(spec, problems)
         V = len(problems)
         Vp, ph, pw = rd.Vp, rd.ph, rd.pw
 

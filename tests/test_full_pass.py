@@ -143,3 +143,26 @@ def test_view_batched_geom_pass_uses_ext_depths(tmp_path):
         ok = (depth > 0) & (gt > 0)
         rel = np.abs(depth - gt)[ok] / gt[ok]
         assert np.median(rel) < 0.01, f"view {v}: {np.median(rel)}"
+
+
+def test_execution_budget_caps_views_per_device(tmp_path):
+    """run_pass(max_views_per_device=k) re-batches so each device runs at
+    most k views per program set, independent of the memory-based
+    view_batch; the same runner can re-batch differently between passes."""
+    _, root = _make_scan(tmp_path, "budget_cap")
+    problems = driver.generate_sample_list(root)   # 3 views
+    runner = ViewParallelRunner(problems, cache=None, seed=0,
+                                mesh=make_mesh(1))
+    # 1 device, cap 1 view/device -> 3 singleton batches
+    batches = runner._batches(cap=1 * 1)
+    assert [len(b) for b in batches] == [1, 1, 1]
+    # no cap -> whole scan
+    assert [len(b) for b in runner._batches(None)] == [3]
+    # cap larger than the scan -> whole scan
+    assert [len(b) for b in runner._batches(8)] == [3]
+
+    # a full pass through run_pass with the cap still produces valid output
+    schedule = cfg.build_schedule(64, "General", use_sa=False, base=32)
+    runner.run_pass(schedule[0], max_views_per_device=1)
+    d, _, _ = _read_outputs(root, 0)
+    assert (d > 0).mean() > 0.5

@@ -38,7 +38,7 @@ def _scene_state(num_views=5, h=48, w=64, seed=9):
     return data, state, sel
 
 
-def _accumulate(data, state, x, y, sel_at, ncols, include_now, geom):
+def _accumulate(data, state, x, y, ncols, include_now, geom):
     """Reference-style accumulation: every view over all pixels (pos =
     identity); unselected pairs contribute zero via the gated weight."""
     B = x.shape[0]
@@ -61,7 +61,7 @@ def test_view_major_classify_matches_pixel_major():
             jnp.float32(2.0), jnp.float32(8.0))
     weak_ref, curve_ref = filters.depth_to_weak(data, state, x, y, *args,
                                                 return_curve=True)
-    acc = _accumulate(data, state, x, y, None,
+    acc = _accumulate(data, state, x, y,
                       RELIABLE_CURVE_SAMPLE_NUM, False, geom=False)
     weak_vm, curve_vm = filters.classify_from_curve(
         data, state, x, y, acc, jnp.int32(6), jnp.float32(2.0),
@@ -79,7 +79,7 @@ def test_view_major_classify_geom_matches():
     _, curve_ref = filters.depth_to_weak(
         data, state, x, y, jnp.int32(6), False, True, jnp.float32(0.2),
         jnp.float32(2.0), jnp.float32(8.0), return_curve=True)
-    acc = _accumulate(data, state, x, y, None,
+    acc = _accumulate(data, state, x, y,
                       RELIABLE_CURVE_SAMPLE_NUM, False, geom=True)
     _, curve_vm = filters.classify_from_curve(
         data, state, x, y, acc, jnp.int32(6), jnp.float32(2.0),
@@ -105,7 +105,7 @@ def test_view_major_refine_matches_local_refine():
     d_ref = np.asarray(filters.local_refine(
         data, state, x, y, False, False, jnp.float32(0.2), jnp.float32(2.0),
         jnp.float32(8.0)))
-    acc = _accumulate(data, state, x, y, None, 12, True, geom=False)
+    acc = _accumulate(data, state, x, y, 12, True, geom=False)
     d_vm = np.asarray(filters.refine_from_curve(
         data, state, x, y, acc, jnp.float32(2.0), jnp.float32(8.0)))
     # identical decisions away from floating-point ties
@@ -123,7 +123,7 @@ def test_scatter_padding_drops():
     x = np.asarray(xs.reshape(-1), np.int32)
     y = np.asarray(ys.reshape(-1), np.int32)
     B = len(x)
-    acc0 = _accumulate(data, state, jnp.asarray(x), jnp.asarray(y), None,
+    acc0 = _accumulate(data, state, jnp.asarray(x), jnp.asarray(y),
                        RELIABLE_CURVE_SAMPLE_NUM, False, geom=False)
     # same accumulation but split per view into two padded sub-batches
     acc = jnp.zeros((B, RELIABLE_CURVE_SAMPLE_NUM), jnp.float32)

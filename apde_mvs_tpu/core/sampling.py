@@ -54,20 +54,24 @@ def lerp_quad_rows(rows: jnp.ndarray, fx, fy):
 
 
 # --------------------------------------------------------------------------
-# Banded row gather — the big-table fast path.
+# Banded row gather — a big-table fast path that did NOT survive
+# composition (default OFF; see _BAND_SITES below).
 #
 # XLA:TPU's u8 row-gather emitter is bimodal in TABLE BYTES: ~405 M rows/s
 # up to ~3.5 MiB, ~175 M rows/s above (threshold measured to the 0.5 MiB in
 # benchmarks/gather_vmem_probe.py; independent of index coherence, row
 # blocking, and scoped-VMEM options — gather_locality_probe.py).  Full-res
 # quad tables (6 MP = 24 MiB) therefore gather 2.3x slower than the bench's
-# 0.5 MP tables.  But one production gather covers ONE (candidate, view)
-# pair over a spatially contiguous pixel chunk, whose warped coordinates
-# almost always span a narrow row band.  So: dynamic-slice a 3 MiB band at
-# the indices' min and gather inside it (405 M rows/s), falling back to the
-# full-table gather under lax.cond when the span does not fit — bitwise
-# identical either way (benchmarks/gather_window_probe.py: 351 M rows/s
-# fast branch, 174 slow branch, vs 174 unbanded).
+# 0.5 MP tables.  The idea: one production gather covers ONE (candidate,
+# view) pair over a spatially contiguous pixel chunk whose warped
+# coordinates usually span a narrow row band, so dynamic-slice a 3 MiB band
+# at the indices' min and gather inside it, lax.cond falling back to the
+# full-table gather when the span does not fit — bitwise identical either
+# way.  In ISOLATION that measures 351 vs 174 M rows/s
+# (benchmarks/gather_window_probe.py); inside real NCC programs the
+# min/max reduction + cond + band copy cost MORE than the faster gather
+# returns at every production call site (band_site_probe.py, PERF_NOTES
+# "banded cond regression: closed").
 # --------------------------------------------------------------------------
 
 # 3 MiB of (N, 4) u8 rows — comfortably under the ~3.5 MiB fast-path edge.
@@ -83,14 +87,28 @@ BAND_STATS: dict = {}
 
 # APDE_BAND_SITES: comma list of call sites that ride the banded gather
 # ("all" = every site; "" = none). Site names: strong, classify,
-# weak_center, weak_anchor. Used to A/B the cond wrapper's net effect per
-# site on real workloads (PERF_NOTES "banded cond regression").
-_BAND_SITES = os.environ.get("APDE_BAND_SITES", "all")
+# weak_center, weak_anchor. Default OFF everywhere: controlled per-site
+# A/Bs on the real chip at production chunk geometry (24 MiB table,
+# benchmarks/band_site_probe.py) measured the cond wrapper as a net LOSS
+# at every site inside real NCC programs — weak/deformable 1.68x slower
+# banded, strong 1.08x, view-major classify 1.05x — even where the fast
+# branch hits; the isolated 378 M rows/s banded rate (gather_window_probe)
+# never survives composition. See PERF_NOTES "banded cond regression:
+# closed".
+_BAND_SITES = os.environ.get("APDE_BAND_SITES", "")
 
 
 def site_banded(site: str) -> bool:
     """True when the banded gather is enabled for this call site."""
     return _BAND_SITES == "all" or site in _BAND_SITES.split(",")
+
+
+def set_band_sites(spec: str) -> None:
+    """Override the band-site set at runtime (A/B probes). Only affects
+    traces made AFTER the call — already-jitted programs keep the branch
+    they were traced with, so probes must build a fresh jit per arm."""
+    global _BAND_SITES
+    _BAND_SITES = spec
 
 
 def _record_band(site: str, fits) -> None:

@@ -155,10 +155,11 @@ def _per_view_ncc_weak(data: CostData, src_index, wref: WeakRefData, plane,
         # Anchor slots are ordered by fit quality (reference sorts inliers
         # by plane distance, APD.cu:2060-2080), so even one slot's anchors
         # point in arbitrary directions across a chunk — per-slot gathers
-        # are this path's best coherence, and full-res A/Bs still measured
-        # a net regression (PERF_NOTES "banded cond regression"); the site
-        # is therefore band-disabled by default and this branch exists for
-        # re-measurement via APDE_BAND_SITES.
+        # are this path's best coherence, and the controlled A/B still
+        # measured a 1.68x net regression for banding the deformable sites
+        # (benchmarks/band_site_probe.py; PERF_NOTES "banded cond
+        # regression: closed"). The site is band-disabled by default and
+        # this branch exists for re-measurement via APDE_BAND_SITES.
         sv = jnp.stack([sample_src_view(data, src_index, wx[:, a], wy[:, a],
                                         site="weak_anchor")
                         for a in range(wx.shape[1])], axis=1)

@@ -140,8 +140,14 @@ def main():
             prev = float(np.asarray(eval_all(planes0)))        # compile+warm
             compile_s = time.time() - tc
             times = []
-            for _ in range(args.reps):
-                planes = planes0 + 1e-12 * prev                # fresh chained input
+            for rep in range(args.reps):
+                # fresh chained input: scale the perturbation to the input
+                # magnitude and rep index — an ADDITIVE 1e-12*prev can round
+                # to nothing in f32 and re-enable the axon memoization the
+                # chaining is meant to defeat (CLAUDE.md gotcha)
+                planes = planes0 * (1.0 + 1e-6 * (rep + 1 + prev % 1.0))
+                assert not np.array_equal(np.asarray(planes),
+                                          np.asarray(planes0))
                 t = time.time()
                 prev = float(np.asarray(eval_all(planes)))
                 times.append(time.time() - t)
@@ -179,11 +185,14 @@ def main():
                           "center+anchor": "all"},
                  make_weak_eval, rows_per_call, base)
 
-    from apde_mvs_tpu.ops.cost import _per_view_ncc, ncc_strong, \
-        precompute_ref_window
-    win = jax.block_until_ready(precompute_ref_window(
-        data, xf, yf, cfg.strong_radius, cfg.strong_increment, False))
-    taps_strong = int(win.tap_val.shape[-1])
+    if args.probe in ("all", "strong", "classify"):
+        # strong window build + compile only for the probes that use it
+        # (a --probe weak run should not pay it)
+        from apde_mvs_tpu.ops.cost import _per_view_ncc, ncc_strong, \
+            precompute_ref_window
+        win = jax.block_until_ready(precompute_ref_window(
+            data, xf, yf, cfg.strong_radius, cfg.strong_increment, False))
+        taps_strong = int(win.tap_val.shape[-1])
 
     if args.probe in ("all", "strong"):
         # strong-site probe: the checkerboard sweep's dense-window NCC over

@@ -228,15 +228,23 @@ def angle_between(v1, v2, eps=1e-12):
 # replacing clock-seeded curand; reference: APD.cu:242-332, 904-917).
 # ---------------------------------------------------------------------------
 
+def unit_normal_facing_from_gaussian(g, cam: CameraArrays, x, y, depth):
+    """Deterministic tail of `random_unit_normal_facing` given the raw
+    Gaussian draw `g` (..., 3) — split out so the static-band bound pre-pass
+    (ops.bands) can re-apply one shared draw to every possible refinement
+    winner bitwise-identically."""
+    n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+    vd = view_direction(cam, x, y, depth)
+    flip = jnp.sum(n * vd, axis=-1, keepdims=True) > 0
+    return jnp.where(flip, -n, n)
+
+
 def random_unit_normal_facing(key, cam: CameraArrays, x, y, depth):
     """Uniform random unit normal flipped to face the camera (reference:
     GenerateRandomNormal, APD.cu:242-268; Marsaglia sampling replaced by
     normalized Gaussians — identical distribution, no rejection loop)."""
     g = jax.random.normal(key, x.shape + (3,), dtype=jnp.float32)
-    n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
-    vd = view_direction(cam, x, y, depth)
-    flip = jnp.sum(n * vd, axis=-1, keepdims=True) > 0
-    return jnp.where(flip, -n, n)
+    return unit_normal_facing_from_gaussian(g, cam, x, y, depth)
 
 
 def _euler_rotation(a1, a2, a3):
@@ -250,17 +258,23 @@ def _euler_rotation(a1, a2, a3):
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-def perturbed_normal(key, cam: CameraArrays, x, y, normal, perturbation):
-    """Randomly perturbed normal; falls back to the original when the
-    perturbed normal faces away (reference: APD.cu:270-305)."""
-    angles = (jax.random.uniform(key, x.shape + (3,), dtype=jnp.float32) - 0.5) \
-        * perturbation
+def perturbed_normal_from_angles(angles, cam: CameraArrays, x, y, normal):
+    """Deterministic tail of `perturbed_normal` given the Euler-angle draw
+    (..., 3) — see unit_normal_facing_from_gaussian for why it is split."""
     Rp = _euler_rotation(angles[..., 0], angles[..., 1], angles[..., 2])
     n_p = mat3_vec(Rp, normal)
     vd = view_direction(cam, x, y, 1.0)
     bad = jnp.sum(n_p * vd, axis=-1, keepdims=True) >= 0
     n_p = jnp.where(bad, normal, n_p)
     return n_p / jnp.maximum(jnp.linalg.norm(n_p, axis=-1, keepdims=True), 1e-12)
+
+
+def perturbed_normal(key, cam: CameraArrays, x, y, normal, perturbation):
+    """Randomly perturbed normal; falls back to the original when the
+    perturbed normal faces away (reference: APD.cu:270-305)."""
+    angles = (jax.random.uniform(key, x.shape + (3,), dtype=jnp.float32) - 0.5) \
+        * perturbation
+    return perturbed_normal_from_angles(angles, cam, x, y, normal)
 
 
 def random_plane_hypothesis(key, cam: CameraArrays, x, y, depth_min, depth_max):

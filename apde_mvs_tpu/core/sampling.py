@@ -67,7 +67,8 @@ def lerp_quad_rows(rows: jnp.ndarray, fx, fy):
 # coordinates usually span a narrow row band, so dynamic-slice a 3 MiB band
 # at the indices' min and gather inside it, lax.cond falling back to the
 # full-table gather when the span does not fit — bitwise identical either
-# way.  In ISOLATION that measures 351 vs 174 M rows/s
+# way.  In ISOLATION that measures 351 (cond fast branch; 378 for the raw
+# band slice+gather) vs 174 M rows/s
 # (benchmarks/gather_window_probe.py); inside real NCC programs the
 # min/max reduction + cond + band copy cost MORE than the faster gather
 # returns at every production call site (band_site_probe.py, PERF_NOTES
@@ -92,15 +93,18 @@ BAND_STATS: dict = {}
 # benchmarks/band_site_probe.py) measured the cond wrapper as a net LOSS
 # at every site inside real NCC programs — weak/deformable 1.68x slower
 # banded, strong 1.08x, view-major classify 1.05x — even where the fast
-# branch hits; the isolated 378 M rows/s banded rate (gather_window_probe)
-# never survives composition. See PERF_NOTES "banded cond regression:
-# closed".
+# branch hits; the isolated banded rates (gather_window_probe: 378 M rows/s
+# for the raw band slice+gather, 351 M through the cond wrapper's fast
+# branch, vs 174 plain) never survive composition. See PERF_NOTES "banded
+# cond regression: closed".
 _BAND_SITES = os.environ.get("APDE_BAND_SITES", "")
 
 
 def site_banded(site: str) -> bool:
-    """True when the banded gather is enabled for this call site."""
-    return _BAND_SITES == "all" or site in _BAND_SITES.split(",")
+    """True when the banded gather is enabled for this call site.
+    Whitespace around commas is tolerated ("strong, classify")."""
+    sites = {s.strip() for s in _BAND_SITES.split(",")}
+    return _BAND_SITES == "all" or site in sites
 
 
 def set_band_sites(spec: str) -> None:

@@ -211,10 +211,22 @@ def _jit_iterations(shape, num_src, cfg: StaticCfg, nw: int):
 # shapes, so runs remain deterministic.
 # ---------------------------------------------------------------------------
 
-def _gather_rate(h: int, w: int) -> float:
-    """Measured u8 row-gather rates: ~380 M rows/s for bench-size tables,
-    plateauing at ~170 M beyond ~1.5 M rows (gather_locality_probe)."""
-    return 380e6 if h * w <= 600_000 else 170e6
+# The u8 fast-path edge is a TABLE-BYTE bound: ~405 M rows/s up to
+# ~3.5-4.0 MiB of gather-source bytes, ~175 M above, measured to the
+# 0.5 MiB and insensitive to row count / coherence / blocking
+# (benchmarks/gather_vmem_probe.py, gather_rowcount_probe.py). Budgeting
+# uses the LOWER edge so programs near the boundary are estimated slow
+# (underestimating runtime risks the remote worker's ~80 s program kill).
+_FAST_TABLE_BYTES = 3.5 * (1 << 20)
+
+
+def _gather_rate(h: int, w: int, u8: bool = True) -> float:
+    """Measured row-gather rates for an (h*w, 4) quad table: the u8 fast
+    path below the byte edge, the slow path above it; f32 tables have no
+    fast path at any size (PERF_NOTES "u8 quads")."""
+    if u8 and h * w * 4 <= _FAST_TABLE_BYTES:
+        return 380e6
+    return 170e6
 
 
 # Safety threshold against the remote worker's ~80 s hard program-kill
@@ -223,12 +235,13 @@ def _gather_rate(h: int, w: int) -> float:
 _PROGRAM_BUDGET_S = 35.0
 
 
-def _iterations_host_mode(shape, num_src: int, max_iterations: int) -> bool:
+def _iterations_host_mode(shape, num_src: int, max_iterations: int,
+                          u8: bool = True) -> bool:
     """True when the fused iterations program would exceed the remote
     worker's ~60 s execution budget."""
     h, w = shape
     rows = max_iterations * 2 * 14 * (h * w / 2) * num_src * 36
-    return rows / _gather_rate(h, w) > _PROGRAM_BUDGET_S
+    return rows / _gather_rate(h, w, u8) > _PROGRAM_BUDGET_S
 
 
 def spmd_stage_seconds(shape, num_src: int, params) -> float:
@@ -238,7 +251,7 @@ def spmd_stage_seconds(shape, num_src: int, params) -> float:
     views_per_device * this stays under the worker budget, and falls back
     to the serial host-dispatched engine when a single view exceeds it."""
     h, w = shape
-    rate = _gather_rate(h, w)
+    rate = _gather_rate(h, w, getattr(params, "sampler_u8", True))
     sweep = params.max_iterations * 2 * 14 * (h * w / 2) * num_src * 36
     if params.use_apd and params.state != "first_init":
         # weak sweeps + deformable init rescore + anchor probes on top of
@@ -736,7 +749,8 @@ def run_patchmatch(
     key, k_init, k_iter = jax.random.split(key, 3)
     nw_cap = int(weak_x.shape[0]) if nw > 0 else 0
     _mark("apd_setup", state.weak)
-    if _iterations_host_mode(shape, S, cfg.max_iterations):
+    if _iterations_host_mode(shape, S, cfg.max_iterations,
+                             data.src_quads.dtype == jnp.uint8):
         # large images: one device program per chunk (the fused program
         # would exceed the remote worker's execution budget; see the
         # host-dispatch section above)

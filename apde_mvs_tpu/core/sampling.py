@@ -149,16 +149,37 @@ def _use_band(tab: jnp.ndarray) -> bool:
     return _BANDED and tab.dtype == jnp.uint8 and tab.shape[0] > BAND_ROWS
 
 
+def static_band_take(tab: jnp.ndarray, idx, origin):
+    """Row gather through a BAND_ROWS window at a PRE-COMPUTED origin.
+
+    `origin` is a traced int32 scalar computed OUTSIDE this program (by the
+    ops.bands bound pre-pass, dispatched from the host driver) and already
+    clamped to [0, N - BAND_ROWS]; the caller guarantees every index falls
+    inside [origin, origin + BAND_ROWS). Unlike `banded_take` there is NO
+    per-gather min/max reduction and NO lax.cond — the two constructs the
+    round-2 A/Bs showed poison XLA's fusion (PERF_NOTES "banded cond
+    regression: closed"); one dynamic-slice per (candidate, view) amortizes
+    over the whole chunk's taps. Bitwise-identical to a full-table take when
+    the coverage guarantee holds (ops.bands verifies it per chunk and the
+    driver falls back to the plain program otherwise)."""
+    n, c = tab.shape
+    band = jax.lax.dynamic_slice(tab, (origin, jnp.int32(0)), (BAND_ROWS, c))
+    return jnp.take(band, idx - origin, axis=0)
+
+
 def bilinear_sample_packed(quad: jnp.ndarray, width: int, height: int, x, y,
-                           band: bool | None = None, site: str = "?"):
+                           band: bool | None = None, site: str = "?",
+                           origin=None):
     """Bilinear sample from a pack_bilinear[_u8]() layout. x, y any shape.
 
-    `band` gates the banded big-table fast path per CALL SITE: None = on
-    wherever it can pay (`_use_band`), False = plain full-table gather.
-    Sites whose index spans rarely fit BAND_ROWS (measured via
-    APDE_BAND_STATS) should pass False — the cond wrapper then only costs
-    fusion breaks and min/max reductions on the slow branch."""
+    `origin`: traced band origin for the static-band fast path (see
+    static_band_take) — takes precedence over the cond-banded path.
+    `band` gates the (legacy, default-off) cond-banded big-table fast path
+    per CALL SITE: None = on wherever it can pay (`_use_band`), False =
+    plain full-table gather."""
     idx, fx, fy = quad_coords(width, height, x, y)
+    if origin is not None:
+        return lerp_quad_rows(static_band_take(quad, idx, origin), fx, fy)
     use = _use_band(quad) and (site_banded(site) if band is None else band)
     rows = banded_take(quad, idx, site) if use \
         else jnp.take(quad, idx, axis=0)

@@ -202,13 +202,15 @@ def precompute_ref_window(data: CostData, x, y, radius: int, increment: int,
 
 
 def sample_src_view(data: CostData, src_index, wx, wy,
-                    band: bool | None = None, site: str = "?"):
+                    band: bool | None = None, site: str = "?", origin=None):
     """Bilinear-sample source view `src_index` at warped positions (the CUDA
     texture-fetch replacement; reference APD.cu:617). The quad table is u8
     (default) or f32 (exact oracle); bilinear_sample_packed handles both.
-    band/site: per-call-site banded-gather control (core.sampling)."""
+    band/site: per-call-site banded-gather control; origin: pre-computed
+    static band origin (core.sampling.static_band_take)."""
     return bilinear_sample_packed(data.src_quads[src_index], data.width,
-                                  data.src_h, wx, wy, band=band, site=site)
+                                  data.src_h, wx, wy, band=band, site=site,
+                                  origin=origin)
 
 
 def _clamped_fetch(arr, xi, yi):
@@ -244,12 +246,14 @@ def ncc_from_sums(sum_ref, sum_rr, sum_src, sum_ss, sum_rs, wsum):
 
 
 def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow,
-                  band: bool | None = None, site: str = "strong"):
+                  band: bool | None = None, site: str = "strong",
+                  origin=None):
     """NCC cost of `plane` at pixels (x, y) against one source view.
 
     x, y: (B,) f32; plane: (B, 4). Returns (B,) cost. All taps are evaluated
     as one (B, T) batched warp + gather — large fused ops keep the TPU's
     gather pipeline saturated instead of dispatching T tiny kernels.
+    `origin`: static band origin for this (plane, view) gather (ops.bands).
     """
     src_cam = data.src_cams.view(src_index)
     H = geo.homography(data.ref_cam, src_cam, plane)
@@ -259,7 +263,8 @@ def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow,
     tx = x[..., None] + win.tap_dx                       # (B, T)
     ty = y[..., None] + win.tap_dy
     wx, wy = geo.warp(H[..., None, :, :], tx, ty)
-    sv = sample_src_view(data, src_index, wx, wy, band=band, site=site)
+    sv = sample_src_view(data, src_index, wx, wy, band=band, site=site,
+                         origin=origin)
     tw = win.tap_w
     s_src = (tw * sv).sum(-1)
     s_ss = (tw * sv * sv).sum(-1)
@@ -268,14 +273,23 @@ def _per_view_ncc(data: CostData, src_index, x, y, plane, win: RefWindow,
     return jnp.where(oob, COST_MAX, cost)
 
 
-def ncc_strong(data: CostData, x, y, plane, win: RefWindow) -> jnp.ndarray:
+def ncc_strong(data: CostData, x, y, plane, win: RefWindow,
+               origins=None) -> jnp.ndarray:
     """Multi-view NCC cost vector (reference: ComputeMultiViewCostVectorOld,
-    APD.cu:820-829). Returns (B, S)."""
+    APD.cu:820-829). Returns (B, S). `origins`: optional (S,) int32 static
+    band origins, one per view (ops.bands pre-pass)."""
 
-    def body(s, _):
-        return s + 1, _per_view_ncc(data, s, x, y, plane, win)
+    if origins is None:
+        def body(s, _):
+            return s + 1, _per_view_ncc(data, s, x, y, plane, win)
 
-    _, costs = jax.lax.scan(body, 0, None, length=data.num_src)
+        _, costs = jax.lax.scan(body, 0, None, length=data.num_src)
+    else:
+        def body(s, org):
+            return s + 1, _per_view_ncc(data, s, x, y, plane, win,
+                                        origin=org)
+
+        _, costs = jax.lax.scan(body, 0, origins)
     return jnp.moveaxis(costs, 0, -1)
 
 

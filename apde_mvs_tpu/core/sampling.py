@@ -149,6 +149,27 @@ def _use_band(tab: jnp.ndarray) -> bool:
     return _BANDED and tab.dtype == jnp.uint8 and tab.shape[0] > BAND_ROWS
 
 
+# Static-band fast path (ops.bands + static_band_take): default ON for u8
+# tables past the byte edge; APDE_STATIC_BANDS=0 disables (A/B runs).
+_STATIC_BANDS = os.environ.get("APDE_STATIC_BANDS", "1") != "0"
+
+
+def static_bands_enabled(src_quads) -> bool:
+    """True when the static-band dispatch applies to this (S, N, 4) table:
+    u8 rows (f32 has no fast path at any size) and N past the fast-path
+    byte edge (small tables already ride it)."""
+    import sys
+    _mod = sys.modules[__name__]
+    return _mod._STATIC_BANDS and src_quads.dtype == jnp.uint8 \
+        and src_quads.shape[-2] > _mod.BAND_ROWS
+
+
+def set_static_bands(on: bool) -> None:
+    """Runtime override (A/B probes); affects only traces made after."""
+    global _STATIC_BANDS
+    _STATIC_BANDS = on
+
+
 def static_band_take(tab: jnp.ndarray, idx, origin):
     """Row gather through a BAND_ROWS window at a PRE-COMPUTED origin.
 
@@ -162,8 +183,15 @@ def static_band_take(tab: jnp.ndarray, idx, origin):
     over the whole chunk's taps. Bitwise-identical to a full-table take when
     the coverage guarantee holds (ops.bands verifies it per chunk and the
     driver falls back to the plain program otherwise)."""
+    import sys
+    _mod = sys.modules[__name__]
     n, c = tab.shape
-    band = jax.lax.dynamic_slice(tab, (origin, jnp.int32(0)), (BAND_ROWS, c))
+    if n == _mod.BAND_ROWS:
+        # pre-sliced band (ops.bands.banded_view_tables): rebase only — the
+        # caller hoisted ONE slice per view out of the candidate/step scans
+        return jnp.take(tab, idx - origin, axis=0)
+    band = jax.lax.dynamic_slice(tab, (origin, jnp.int32(0)),
+                                 (_mod.BAND_ROWS, c))
     return jnp.take(band, idx - origin, axis=0)
 
 

@@ -10,7 +10,7 @@ them in as plain traced scalars, so the NCC body does one dynamic-slice per
 (candidate, view) and zero conds / index reductions.
 
 Correctness contract: a band origin may be used only when EVERY gather index
-of that (candidate, view) pair falls inside [origin, origin + BAND_ROWS).
+of that (candidate, view) pair falls inside [origin, origin + _sampling.BAND_ROWS).
 The bound is exact by construction:
 
 - gather indices are floor(clip(wy)) * W + floor(clip(wx)) with wx, wy the
@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import geometry as geo
-from ..core.sampling import BAND_ROWS
+from ..core import sampling as _sampling
 from .cost import CostData
 
 
@@ -62,63 +62,285 @@ def _corner_taps(max_extent: int) -> np.ndarray:
     return np.array([[-e, -e], [e, -e], [-e, e], [e, e]], np.float32)
 
 
-def plane_view_bounds(data: CostData, src_cam, x, y, plane,
-                      max_extent: int) -> tuple:
-    """Exact warped-row bounds of one plane batch against one source view.
+# dynamic_slice starts snap DOWN to the u8 (32, 128)-tile row quantum (cheap
+# insurance; measured neutral on-chip, benchmarks/static_band_probe.py)
+_ALIGN_ROWS = 32
 
-    x, y: (B,) f32 pixel coords; plane: (B, 4). Returns (lo, hi, ok):
-    int32 scalars bounding floor(clip(wy)) over all B pixels x 4 corner
-    taps, and a scalar bool that the corner-hull argument applies to every
-    pixel (all 4 denominators strictly positive and finite).
-    """
-    H = geo.homography(data.ref_cam, src_cam, plane)       # (B, 3, 3)
-    corners = jnp.asarray(_corner_taps(max_extent))        # (4, 2)
-    tx = x[:, None] + corners[None, :, 0]                  # (B, 4)
-    ty = y[:, None] + corners[None, :, 1]
-    Hb = H[:, None, :, :]
-    denom = Hb[..., 2, 0] * tx + Hb[..., 2, 1] * ty + Hb[..., 2, 2]
-    ok = jnp.all(jnp.isfinite(denom) & (denom > 1e-12))
-    _, wy = geo.warp(Hb, tx, ty)
-    wy = jnp.clip(wy, 0.0, data.src_h - 1.0)
-    ok &= jnp.all(jnp.isfinite(wy))
-    # ±1 row float-safety margin: interior taps are evaluated by the same
-    # warp formula but with different rounding; an ulp past a row boundary
-    # must still land inside the band. Re-clamped so the span stays within
-    # real table rows (actual indices can never leave them).
-    lo = jnp.maximum(jnp.floor(jnp.min(wy)).astype(jnp.int32) - 1, 0)
-    hi = jnp.minimum(jnp.floor(jnp.max(wy)).astype(jnp.int32) + 1,
-                     data.src_h - 1)
-    return lo, hi, ok
+# Denominator positivity threshold for the corner-hull argument. The bounds
+# pre-pass computes homography rows COMPONENT-WISE (materializing (B*C, 3, 3)
+# homographies pads 3x3 onto (8,128) tiles — measured 0.49 s/chunk, the
+# known tiny-minor-dim pathology), so its rounding differs from the body's
+# by ~ulps; 1e-6 absolute (homography rows are O(1) in normalized pixel
+# scale) keeps a sign the body could disagree with out of the banded set.
+_DENOM_EPS = 1e-6
 
 
-def strong_bounds(data: CostData, x, y, planes, max_extent: int
-                  ) -> BandBounds:
-    """Band decisions for a (B, C, 4) candidate-plane set, per (cand, view).
+def _h_rows(ref: geo.CameraArrays, src: geo.CameraArrays, n0, n1, n2, w):
+    """Rows 1 and 2 of the plane-induced homography, component-wise.
 
-    Returns BandBounds with (C, S) origin/fits. Runs as part of a small
-    pre-pass program; only elementwise warp math + reductions (no gathers
-    from the big table), ~2-4% of the NCC body it banks.
-    """
-    C = planes.shape[1]
+    Same math as geometry.homography (reference: ComputeHomography,
+    APD.cu:334-394) restricted to the rows the Y-bounds need; all outputs
+    broadcast over the plane component shapes. Returns
+    (h10, h11, h12, h20, h21, h22)."""
+    R_rel, t_rel = geo.relative_pose(ref, src)
+
+    def m(i, j, nj):
+        return R_rel[..., i, j] - t_rel[..., i] * nj
+
+    nw0, nw1, nw2 = n0 / w, n1 / w, n2 / w
+    fx_r, fy_r = ref.fx, ref.fy
+    cx_r, cy_r = ref.cx, ref.cy
+    # MKinv rows 1, 2 (columns 0..2); col2 = M[:,2] - col0*cx - col1*cy
+    c0_1 = m(1, 0, nw0) / fx_r
+    c1_1 = m(1, 1, nw1) / fy_r
+    c2_1 = m(1, 2, nw2) - c0_1 * cx_r - c1_1 * cy_r
+    c0_2 = m(2, 0, nw0) / fx_r
+    c1_2 = m(2, 1, nw1) / fy_r
+    c2_2 = m(2, 2, nw2) - c0_2 * cx_r - c1_2 * cy_r
+    fy_s, cy_s = src.fy, src.cy
+    h10 = fy_s * c0_1 + cy_s * c0_2
+    h11 = fy_s * c1_1 + cy_s * c1_2
+    h12 = fy_s * c2_1 + cy_s * c2_2
+    return h10, h11, h12, c0_2, c1_2, c2_2
+
+
+def _corner_wy(data: CostData, src_cam, x, y, n0, n1, n2, w,
+               max_extent: int):
+    """Clipped warped-Y at the 4 corner taps + per-corner hull validity.
+
+    x, y broadcast against the plane components; returns (wy, ok) with a
+    trailing corner axis of 4."""
+    h10, h11, h12, h20, h21, h22 = _h_rows(data.ref_cam, src_cam,
+                                           n0, n1, n2, w)
+    corners = _corner_taps(max_extent)
+    wys, oks = [], []
+    for k in range(4):
+        tx = x + float(corners[k, 0])
+        ty = y + float(corners[k, 1])
+        den = h20 * tx + h21 * ty + h22
+        wy = (h10 * tx + h11 * ty + h12) / den
+        wyc = jnp.clip(wy, 0.0, data.src_h - 1.0)
+        oks.append(jnp.isfinite(den) & (den > _DENOM_EPS)
+                   & jnp.isfinite(wyc))
+        wys.append(wyc)
+    return jnp.stack(wys, axis=-1), jnp.stack(oks, axis=-1)
+
+
+def _rows_to_bounds(data: CostData, lo_row, hi_row, ok) -> BandBounds:
+    """(image-row lo/hi, ok) -> aligned clamped origin + direct coverage
+    test. Shapes pass through."""
     n_rows = data.src_quads.shape[1]
-    band_rows_img = BAND_ROWS // data.width
+    lo = jnp.maximum(lo_row - 1, 0)          # ±1-row float-safety margin
+    hi = jnp.minimum(hi_row + 1, data.src_h - 1)
+    origin = jnp.clip(lo * data.width, 0, n_rows - _sampling.BAND_ROWS)
+    origin = origin - origin % _ALIGN_ROWS
+    # every gathered index is < (hi + 1) * W and >= lo * W >= origin
+    fits = ok & ((hi + 1) * data.width <= origin + _sampling.BAND_ROWS)
+    return BandBounds(origin=origin, fits=fits)
 
-    def per_view(s, _):
-        src_cam = data.src_cams.view(s)
 
-        def per_cand(c, __):
-            lo, hi, ok = plane_view_bounds(data, src_cam, x, y,
-                                           planes[:, c], max_extent)
-            span = hi - lo + 1
-            fits = ok & (span <= band_rows_img)
-            origin = jnp.clip(lo * data.width, 0, n_rows - BAND_ROWS)
-            return c + 1, (origin, fits)
+def strong_bounds(data: CostData, x, y, planes, max_extent: int,
+                  union: bool = False, valid=None) -> BandBounds:
+    """Band decisions for a (B, C, 4) candidate-plane set.
 
-        _, (origins, fits) = jax.lax.scan(per_cand, 0, None, length=C)
-        return s + 1, (origins, fits)
+    Returns (C, S) origin/fits, or with ``union=True`` a single per-view
+    band covering ALL C plane sets — (S,) origin/fits (the production chunk
+    bodies use one band per view; measured equal to per-candidate bands,
+    benchmarks/static_band_probe.py).
 
-    _, (origins, fits) = jax.lax.scan(per_view, 0, None,
-                                      length=data.num_src)
-    # scanned (S, C) -> (C, S)
-    return BandBounds(origin=jnp.moveaxis(origins, 0, -1),
-                      fits=jnp.moveaxis(fits, 0, -1))
+    `valid` (B, C) excludes entries from the bound. ONLY entries whose body
+    result is provably gather-independent may be excluded: checkerboard
+    candidates with a False region flag (the body zeroes their cost rows —
+    the C-aggregate-init quirk — so their garbage warps never surface) and
+    refinement variants of unreachable winners. The current plane and its
+    reachable refinements must always be bounded."""
+    n0, n1, n2, w = (planes[..., 0], planes[..., 1], planes[..., 2],
+                     planes[..., 3])                       # (B, C) each
+    xb = x[:, None]
+    yb = y[:, None]
+    if valid is None:
+        valid = jnp.ones(planes.shape[:2], bool)
+    v3 = valid[:, :, None]
+
+    def one_view(cam_leaves):
+        src_cam = geo.CameraArrays(*cam_leaves)
+        wy, okc = _corner_wy(data, src_cam, xb, yb, n0, n1, n2, w,
+                             max_extent)                   # (B, C, 4)
+        ok = jnp.all(okc | ~v3, axis=(0, 2))               # (C,)
+        any_valid = jnp.any(valid, axis=0)
+        lo = jnp.floor(jnp.min(jnp.where(v3, wy, jnp.inf),
+                               axis=(0, 2)))
+        hi = jnp.floor(jnp.max(jnp.where(v3, wy, -jnp.inf),
+                               axis=(0, 2)))
+        if union:
+            anyv = jnp.any(any_valid)
+            lo_u = jnp.where(anyv, jnp.min(jnp.where(any_valid, lo, jnp.inf)),
+                             0.0)
+            hi_u = jnp.where(anyv, jnp.max(jnp.where(any_valid, hi,
+                                                     -jnp.inf)), 0.0)
+            return (jnp.all(ok) & anyv, lo_u.astype(jnp.int32),
+                    hi_u.astype(jnp.int32))
+        lo = jnp.where(any_valid, lo, 0.0).astype(jnp.int32)
+        hi = jnp.where(any_valid, hi, 0.0).astype(jnp.int32)
+        return (ok & any_valid, lo, hi)
+
+    ok, lo, hi = jax.vmap(one_view)(tuple(data.src_cams))  # (S, [C])
+    bb = _rows_to_bounds(data, lo, hi, ok)
+    return BandBounds(origin=jnp.moveaxis(bb.origin, 0, -1),
+                      fits=jnp.moveaxis(bb.fits, 0, -1))
+
+
+def sweep_extent(strong_radius: int, use_sa: bool) -> int:
+    """Window tap extent of the strong/classify NCC bodies: the square
+    window reaches ±radius; the SA star's farthest tap is ±5."""
+    return max(strong_radius, 5) if use_sa else strong_radius
+
+
+def strong_sweep_bounds(data: CostData, state, k_ref, xs, ys,
+                        depth_min, depth_max, max_extent: int,
+                        row_bounds=None) -> BandBounds:
+    """Per-chunk union band decisions for a whole color sweep in ONE
+    program: xs, ys are (nc, chunk) pixel batches in host-dispatch order
+    (padding rows must repeat real pixels, not zeros). Returns origins
+    (nc, S) and fits (nc,).
+
+    Enumerates exactly the gathers the banded `_strong_body` performs: the
+    8 checkerboard candidates + the current plane (9 possible winners), and
+    for each possible winner the 3 current-depth-anchored refinement
+    variants built from the SAME raw draws the body will use (slots 0/2 —
+    full-range random depth — stay full-table in the body, so they need no
+    bounds). Per-chunk raw keys fold exactly as propagate_strong_host's
+    body dispatch does."""
+    from .propagation import checkerboard_candidates, refinement_from_raws, \
+        refinement_raws
+    from ..core.sampling import fetch
+    cam = data.ref_cam
+
+    def per_chunk(ci, inp):
+        x, y = inp
+        xf = x.astype(jnp.float32)
+        yf = y.astype(jnp.float32)
+        kr = jax.random.fold_in(k_ref, ci)
+        cand_x, cand_y, flags = checkerboard_candidates(state.costs, x, y,
+                                                        row_bounds)
+        cand_planes = fetch(state.planes, cand_x, cand_y)      # (B, 8, 4)
+        cur_plane = fetch(state.planes, x, y)
+        base = jnp.concatenate([cand_planes, cur_plane[:, None]], axis=1)
+        # flag-masked candidates may be excluded: the body zeroes their
+        # cost rows, and `adopt` requires the winner's flag, so neither
+        # their gathers nor their refinements can surface
+        tr = jnp.ones_like(flags[:, :1])
+        base_valid = jnp.concatenate([flags, tr], axis=1)      # (B, 9)
+        raws = refinement_raws(kr, x.shape)
+        variants = [base]
+        valids = [base_valid]
+        for wi in range(9):
+            pw = base[:, wi]
+            dw = geo.depth_from_plane(cam, pw, xf, yf)
+            d5, n5 = refinement_from_raws(raws, cam, xf, yf, pw, dw,
+                                          depth_min, depth_max)
+            variants.append(jnp.stack(
+                [geo.make_plane(cam, xf, yf, d5[:, i], n5[:, i])
+                 for i in (1, 3, 4)], axis=1))
+            valids.append(jnp.repeat(base_valid[:, wi:wi + 1], 3, axis=1))
+        allp = jnp.concatenate(variants, axis=1)               # (B, 36, 4)
+        allv = jnp.concatenate(valids, axis=1)                 # (B, 36)
+        bb = strong_bounds(data, xf, yf, allp, max_extent, union=True,
+                           valid=allv)
+        return ci + 1, (bb.origin, jnp.all(bb.fits))
+
+    _, (origins, fits) = jax.lax.scan(per_chunk, 0, (xs, ys))
+    return BandBounds(origin=origins, fits=fits)
+
+
+def plane_chunk_bounds(data: CostData, xs, ys, planes,
+                       max_extent: int) -> BandBounds:
+    """Per-chunk union bands for single-plane-per-pixel evaluations (the
+    chunked initial cost): xs, ys (nc, chunk) f32 pixel coords in dispatch
+    order, planes (nc, chunk, 4) — padding lanes must repeat real pixels.
+    Returns origins (nc, S), fits (nc,)."""
+
+    def per_chunk(_, inp):
+        x, y, p = inp
+        bb = strong_bounds(data, x, y, p[:, None, :], max_extent,
+                           union=True)
+        return 0, (bb.origin, jnp.all(bb.fits))
+
+    _, (origins, fits) = jax.lax.scan(per_chunk, 0, (xs, ys, planes))
+    return BandBounds(origin=origins, fits=fits)
+
+
+def view_sweep_bounds(data: CostData, state, xs, ys, view,
+                      num_steps: int, include_now: bool,
+                      max_extent: int) -> BandBounds:
+    """Per-slice union bands for the view-major classify/refine sweeps
+    against ONE source view: xs, ys (n_sl, sb) int32 pixels in dispatch
+    order (padding lanes must repeat real pixels), `view` a traced view
+    index. Reconstructs filters.sweep_curve_view's probe depths bit-for-bit
+    (same _sweep_scalars + disparity-step formula, including the
+    denominator-pole steps whose clamped warps the bound must cover).
+    Returns origins (n_sl,), fits (n_sl,)."""
+    from .filters import _sweep_scalars
+    cam = data.ref_cam
+    src_cam = data.src_cams.view(view)
+    radius = (num_steps - 1) // 2
+    steps = (jnp.arange(num_steps) - radius).astype(jnp.float32)
+
+    def per_slice(_, inp):
+        x, y = inp
+        xf = x.astype(jnp.float32)
+        yf = y.astype(jnp.float32)
+        sc = _sweep_scalars(data, state, x, y)
+        n = sc.plane_cam[..., :3]                        # (sb, 3)
+        denom = jnp.where(sc.disp[:, None] + steps[None, :] != 0,
+                          sc.disp[:, None] + steps[None, :], 1e-20)
+        p_depth = cam.fx * sc.base_line[:, None] / denom  # (sb, steps)
+        if include_now:
+            p_depth = jnp.concatenate([p_depth, sc.depth[:, None]], axis=1)
+        nb = jnp.broadcast_to(n[:, None, :], p_depth.shape + (3,))
+        wdist = geo.plane_dist_to_origin(cam, xf[:, None], yf[:, None],
+                                         p_depth, nb)
+        h10, h11, h12, h20, h21, h22 = _h_rows(
+            cam, src_cam, nb[..., 0], nb[..., 1], nb[..., 2], wdist)
+        corners = _corner_taps(max_extent)
+        los, his, oks = [], [], []
+        for k in range(4):
+            tx = xf[:, None] + float(corners[k, 0])
+            ty = yf[:, None] + float(corners[k, 1])
+            den = h20 * tx + h21 * ty + h22
+            wy = (h10 * tx + h11 * ty + h12) / den
+            wyc = jnp.clip(wy, 0.0, data.src_h - 1.0)
+            oks.append(jnp.isfinite(den) & (den > _DENOM_EPS)
+                       & jnp.isfinite(wyc))
+            los.append(jnp.min(wyc))
+            his.append(jnp.max(wyc))
+        ok = jnp.all(jnp.stack([jnp.all(o) for o in oks]))
+        lo = jnp.floor(jnp.min(jnp.stack(los))).astype(jnp.int32)
+        hi = jnp.floor(jnp.max(jnp.stack(his))).astype(jnp.int32)
+        bb = _rows_to_bounds(data, lo, hi, ok)
+        return 0, (bb.origin, bb.fits)
+
+    _, (origins, fits) = jax.lax.scan(per_slice, 0, (xs, ys))
+    return BandBounds(origin=origins, fits=fits)
+
+
+def banded_view_tables(data: CostData, origins) -> CostData:
+    """Replace src_quads with per-view BAND_ROWS slices at `origins` (S,).
+
+    ONE dynamic-slice per view per program, hoisted out of the candidate /
+    step scans (a slice per (candidate, view) measured ~222 M rows/s vs the
+    hoisted classify shape's ~320; benchmarks/static_band_probe.py). The
+    sliced CostData is valid ONLY for origin-rebased gathers
+    (static_band_take's pre-sliced shortcut) — never hand it to the flat
+    (S*H*W, 4) slot paths (ncc_selected / flat_src_table). width/src_h stay
+    those of the full image so coordinate clamping is unchanged."""
+    c = data.src_quads.shape[-1]
+
+    def slice_one(tab, org):
+        return jax.lax.dynamic_slice(
+            tab, (org, jnp.int32(0)), (_sampling.BAND_ROWS, c))
+
+    return data.replace(
+        src_quads=jax.vmap(slice_one)(data.src_quads,
+                                      jnp.broadcast_to(
+                                          origins, (data.num_src,))))

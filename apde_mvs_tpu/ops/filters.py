@@ -357,7 +357,7 @@ def sweep_curve_view(data: CostData, state: PMState, acc, x, y, pos, view,
                      use_sa: bool, geom: bool, geom_factor,
                      strong_radius=5, strong_increment=2,
                      num_steps: int = RELIABLE_CURVE_SAMPLE_NUM,
-                     include_now: bool = False):
+                     include_now: bool = False, origin=None):
     """Accumulate one source view's weighted sweep-cost curves into `acc`.
 
     x, y: (Bs,) pixels that selected `view` (a traced view index); pos:
@@ -374,6 +374,11 @@ def sweep_curve_view(data: CostData, state: PMState, acc, x, y, pos, view,
     w_s = jax.lax.dynamic_index_in_dim(sc.vw, view, axis=1, keepdims=False)
     win = precompute_ref_window(data, xf, yf, strong_radius, strong_increment,
                                 use_sa)
+    if origin is not None:
+        # hoist ONE band slice out of the step scan (src_depths for the
+        # geom term stay intact in the banded CostData)
+        from .bands import banded_view_tables
+        data = banded_view_tables(data, origin)
     radius = (num_steps - 1) // 2
     n = sc.plane_cam[..., :3]
 
@@ -385,7 +390,7 @@ def sweep_curve_view(data: CostData, state: PMState, acc, x, y, pos, view,
             p_depth = jnp.where(i >= num_steps, sc.depth, p_depth)
         wdist = geo.plane_dist_to_origin(data.ref_cam, xf, yf, p_depth, n)
         plane = jnp.concatenate([n, wdist[..., None]], -1)
-        c = _ncc_one_view(data, view, xf, yf, plane, win)
+        c = _ncc_one_view(data, view, xf, yf, plane, win, origin=origin)
         if geom:
             c = c + geom_factor * geom_one_view(data, view, xf, yf, plane)
         return i + 1, c
@@ -399,9 +404,10 @@ def sweep_curve_view(data: CostData, state: PMState, acc, x, y, pos, view,
                            unique_indices=True, indices_are_sorted=True)
 
 
-def _ncc_one_view(data: CostData, s, x, y, plane, win):
+def _ncc_one_view(data: CostData, s, x, y, plane, win, origin=None):
     from . import cost as cost_ops
-    return cost_ops._per_view_ncc(data, s, x, y, plane, win, site="classify")
+    return cost_ops._per_view_ncc(data, s, x, y, plane, win, site="classify",
+                                  origin=origin)
 
 
 def _curve_from_num(data: CostData, sc: _SweepScalars, num, num_steps: int,

@@ -26,13 +26,18 @@ def random_planes(key, data: CostData, depth_min, depth_max) -> jnp.ndarray:
         depth_min, depth_max)
 
 
-def initial_cost_chunk(data: CostData, planes_flat, x, y, params):
-    """Strong NCC cost vectors for one flat pixel chunk (jit-friendly)."""
+def initial_cost_chunk(data: CostData, planes_flat, x, y, params,
+                       origins=None):
+    """Strong NCC cost vectors for one flat pixel chunk (jit-friendly).
+    `origins`: optional (S,) static band origins (ops.bands)."""
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     win = precompute_ref_window(data, xf, yf, params.strong_radius,
                                 params.strong_increment, bool(params.use_sa))
-    return ncc_strong(data, xf, yf, planes_flat, win)
+    if origins is not None:
+        from .bands import banded_view_tables
+        data = banded_view_tables(data, origins)
+    return ncc_strong(data, xf, yf, planes_flat, win, origins=origins)
 
 
 def initial_cost(data: CostData, state: PMState, params, use_apd: bool,

@@ -141,22 +141,54 @@ def last_min_index(vals: jnp.ndarray) -> jnp.ndarray:
 # APD.cu:950-1096).
 # ---------------------------------------------------------------------------
 
+class RefineRaws(NamedTuple):
+    """Raw random draws of one refinement step, split from the deterministic
+    tail so the static-band bounds pre-pass (ops.bands) can apply ONE shared
+    draw to every possible sweep winner bitwise-identically."""
+
+    u_rand: jnp.ndarray    # (B,) uniform [0,1) -> full-range random depth
+    g: jnp.ndarray         # (B, 3) gaussian -> random facing normal
+    u_pert: jnp.ndarray    # (B,) uniform [0,1) -> ±2% depth perturbation
+    angles: jnp.ndarray    # (B, 3) scaled Euler angles -> normal perturbation
+
+
+def refinement_raws(key, shape) -> RefineRaws:
+    """Draws in the exact key-split order of the historical fused sampler
+    (jax.random.uniform(k, ..., a, b) == max(a, u01*(b-a)+a) bitwise, with
+    u01 the minval=0/maxval=1 draw — verified against jax._src.random)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return RefineRaws(
+        u_rand=jax.random.uniform(k1, shape, jnp.float32),
+        g=jax.random.normal(k2, shape + (3,), dtype=jnp.float32),
+        u_pert=jax.random.uniform(k3, shape, jnp.float32),
+        angles=(jax.random.uniform(k4, shape + (3,), dtype=jnp.float32)
+                - 0.5) * (0.02 * jnp.pi))
+
+
+def refinement_from_raws(raws: RefineRaws, cam: geo.CameraArrays, x, y,
+                         cur_plane, cur_depth, depth_min, depth_max):
+    """Deterministic tail of `refinement_hypotheses` given the raw draws."""
+    d_rand = jax.lax.max(jnp.asarray(depth_min, jnp.float32),
+                         raws.u_rand * (depth_max - depth_min) + depth_min)
+    n_rand = geo.unit_normal_facing_from_gaussian(raws.g, cam, x, y,
+                                                  cur_depth)
+    lo = 0.98 * cur_depth
+    d_pert = jax.lax.max(lo, raws.u_pert * (1.02 * cur_depth - lo) + lo)
+    n_cur = cur_plane[..., :3]
+    n_pert = geo.perturbed_normal_from_angles(raws.angles, cam, x, y, n_cur)
+    depths = jnp.stack([d_rand, cur_depth, d_rand, cur_depth, d_pert], -1)
+    normals = jnp.stack([n_cur, n_rand, n_rand, n_pert, n_cur], -2)
+    return depths, normals
+
+
 def refinement_hypotheses(key, cam: geo.CameraArrays, x, y, cur_plane,
                           cur_depth, depth_min, depth_max):
     """The 5 (depth, normal) refinement combos. Returns (depths (B, 5),
     normals (B, 5, 3)). The reference's do-while depth-perturbation loop has a
     condition that can never hold (`< depth_min && > depth_max`), i.e. it
     samples exactly once; so do we."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    d_rand = jax.random.uniform(k1, x.shape, jnp.float32, depth_min, depth_max)
-    n_rand = geo.random_unit_normal_facing(k2, cam, x, y, cur_depth)
-    d_pert = jax.random.uniform(k3, x.shape, jnp.float32,
-                                0.98 * cur_depth, 1.02 * cur_depth)
-    n_cur = cur_plane[..., :3]
-    n_pert = geo.perturbed_normal(k4, cam, x, y, n_cur, 0.02 * jnp.pi)
-    depths = jnp.stack([d_rand, cur_depth, d_rand, cur_depth, d_pert], -1)
-    normals = jnp.stack([n_cur, n_rand, n_rand, n_pert, n_cur], -2)
-    return depths, normals
+    return refinement_from_raws(refinement_raws(key, x.shape), cam, x, y,
+                                cur_plane, cur_depth, depth_min, depth_max)
 
 
 # ---------------------------------------------------------------------------
@@ -206,9 +238,17 @@ def _run_chunked(body, k_sel, k_ref, arrays, n, chunk=None):
 
 def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
                  k_sel, k_ref, x, y, depth_min, depth_max, geom_factor,
-                 row_bounds):
+                 row_bounds, view_origins=None):
     """Candidate evaluation + view selection + refinement for one flat batch
-    of same-color pixels. Returns (planes_out, costs_out, sel_new, vw)."""
+    of same-color pixels. Returns (planes_out, costs_out, sel_new, vw).
+
+    `view_origins`: optional (S,) static band origins covering every
+    candidate / current / non-random-depth refinement gather of this batch
+    (ops.bands.strong_sweep_bounds; the host driver dispatches this banded
+    variant only for chunks whose pre-pass said every bound fits). The two
+    full-range random-depth refinement slots always gather the full table —
+    their per-pixel depths span the whole range, so their bounds are
+    rig-dependent; keeping them plain makes banding rig-independent."""
     S = data.num_src
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
@@ -222,8 +262,16 @@ def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
     win = precompute_ref_window(data, xf, yf, cfg.strong_radius,
                                 cfg.strong_increment, cfg.use_sa)
 
+    if view_origins is None:
+        data_band = data
+    else:
+        # hoist ONE band slice per view out of all candidate/refine scans
+        from .bands import banded_view_tables
+        data_band = banded_view_tables(data, view_origins)
+
     def cand_cost(c, _):
-        costs_c = ncc_strong(data, xf, yf, cand_planes[:, c], win)  # (B, S)
+        costs_c = ncc_strong(data_band, xf, yf, cand_planes[:, c], win,
+                             origins=view_origins)             # (B, S)
         return c + 1, costs_c
 
     _, cost_array = jax.lax.scan(cand_cost, 0, None, length=8)
@@ -268,7 +316,7 @@ def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
         kept = (slot_w * slot_valid).sum(-1)
         inv_kept = jnp.where(kept > 0, 1.0 / jnp.maximum(kept, 1e-20), 0.0)
 
-        def weighted_cost(plane):
+        def weighted_cost(plane, origins=None):
             cv = ncc_selected(data, xf, yf, plane, win, slot_idx, slot_valid)
             if cfg.geom_consistency and cfg.use_impetus:
                 cv = cv + geom_factor * geom_selected(data, xf, yf, plane,
@@ -276,13 +324,16 @@ def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
             cv = jnp.where(slot_valid, cv, 0.0)
             return (slot_w * cv).sum(-1) * inv_kept
     else:
-        def weighted_cost(plane):
-            cv = ncc_strong(data, xf, yf, plane, win)
+        def weighted_cost(plane, origins=None):
+            # data_band is only valid for rebased gathers; geom reads
+            # src_depths, which banding leaves intact
+            d_ = data if origins is None else data_band
+            cv = ncc_strong(d_, xf, yf, plane, win, origins=origins)
             if cfg.geom_consistency and cfg.use_impetus:
                 cv = cv + geom_factor * geom_cost(data, xf, yf, plane)
             return (vw * cv).sum(-1) * inv_norm
 
-    cost_now = weighted_cost(cur_plane)
+    cost_now = weighted_cost(cur_plane, origins=view_origins)
     cost_recomputed = jnp.where(has_views, cost_now, COST_MAX)
 
     # adopt best candidate (last-min wins ties)
@@ -303,16 +354,46 @@ def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
     r_depths, r_normals = refinement_hypotheses(
         k_ref, cam, xf, yf, plane_cur, depth_cur, depth_min, depth_max)
 
-    def refine_cost(i, _):
-        plane_i = geo.make_plane(cam, xf, yf, r_depths[:, i], r_normals[:, i])
-        ci = weighted_cost(plane_i)
-        d_i = geo.depth_from_plane(cam, plane_i, xf, yf)
-        ok = (d_i >= depth_min) & (d_i <= depth_max) & has_views
-        return i + 1, (jnp.where(ok, ci, jnp.inf), plane_i)
+    if view_origins is None:
+        def refine_cost(i, _):
+            plane_i = geo.make_plane(cam, xf, yf, r_depths[:, i],
+                                     r_normals[:, i])
+            ci = weighted_cost(plane_i)
+            d_i = geo.depth_from_plane(cam, plane_i, xf, yf)
+            ok = (d_i >= depth_min) & (d_i <= depth_max) & has_views
+            return i + 1, (jnp.where(ok, ci, jnp.inf), plane_i)
 
-    _, (r_costs, r_planes) = jax.lax.scan(refine_cost, 0, None, length=5)
-    r_costs = jnp.moveaxis(r_costs, 0, 1)                      # (B, 5)
-    r_planes = jnp.moveaxis(r_planes, 0, 1)                    # (B, 5, 4)
+        _, (r_costs, r_planes) = jax.lax.scan(refine_cost, 0, None, length=5)
+        r_costs = jnp.moveaxis(r_costs, 0, 1)                  # (B, 5)
+        r_planes = jnp.moveaxis(r_planes, 0, 1)                # (B, 5, 4)
+    else:
+        # banded variant: the current-depth-anchored slots (1, 3, 4) ride
+        # the band; the full-range random-depth slots (0, 2) keep the plain
+        # full-table gather. Costs and slot order are bitwise those of the
+        # single-scan path (the banded NCC is bitwise-equal when fits).
+        def refine_one(i, origins):
+            plane_i = geo.make_plane(cam, xf, yf, r_depths[:, i],
+                                     r_normals[:, i])
+            ci = weighted_cost(plane_i, origins=origins)
+            d_i = geo.depth_from_plane(cam, plane_i, xf, yf)
+            ok = (d_i >= depth_min) & (d_i <= depth_max) & has_views
+            return jnp.where(ok, ci, jnp.inf), plane_i
+
+        def banded_scan(i, _):
+            slot = jnp.asarray([1, 3, 4], jnp.int32)[i]
+            out = refine_one(slot, view_origins)
+            return i + 1, out
+
+        def plain_scan(i, _):
+            slot = jnp.asarray([0, 2], jnp.int32)[i]
+            out = refine_one(slot, None)
+            return i + 1, out
+
+        _, (cb_, pb_) = jax.lax.scan(banded_scan, 0, None, length=3)
+        _, (cp_, pp_) = jax.lax.scan(plain_scan, 0, None, length=2)
+        # reassemble in slot order 0..4
+        r_costs = jnp.stack([cp_[0], cb_[0], cp_[1], cb_[1], cb_[2]], axis=1)
+        r_planes = jnp.stack([pp_[0], pb_[0], pp_[1], pb_[1], pb_[2]], axis=1)
     r_best = jnp.argmin(r_costs, -1)
     r_cost = jnp.take_along_axis(r_costs, r_best[:, None], 1)[:, 0]
     r_plane = jnp.take_along_axis(
@@ -391,6 +472,11 @@ def propagate_strong(data: CostData, state: PMState, cfg: PropCfg,
 import functools as _functools
 
 
+# banded vs plain chunk dispatch counts per site (diagnostics / tests):
+# site -> [banded, plain]
+BAND_DISPATCH_STATS = {"strong": [0, 0], "init": [0, 0], "view_major": [0, 0]}
+
+
 def _throttle(outs, window: int = 2):
     """Bound the device execution queue during host-dispatched chunk loops.
 
@@ -410,6 +496,25 @@ def _strong_chunk_jit(cfg: PropCfg):
           geom_factor):
         return _strong_body(data, state, cfg, iteration, ks, kr, xc, yc,
                             depth_min, depth_max, geom_factor, None)
+    return jax.jit(f)
+
+
+@_functools.lru_cache(maxsize=32)
+def _strong_chunk_banded_jit(cfg: PropCfg):
+    def f(data, state, iteration, ks, kr, xc, yc, origins, depth_min,
+          depth_max, geom_factor):
+        return _strong_body(data, state, cfg, iteration, ks, kr, xc, yc,
+                            depth_min, depth_max, geom_factor, None,
+                            view_origins=origins)
+    return jax.jit(f)
+
+
+@_functools.lru_cache(maxsize=32)
+def _strong_prepass_jit(cfg: PropCfg, max_extent: int):
+    def f(data, state, k_ref, xs, ys, depth_min, depth_max):
+        from .bands import strong_sweep_bounds
+        return strong_sweep_bounds(data, state, k_ref, xs, ys,
+                                   depth_min, depth_max, max_extent)
     return jax.jit(f)
 
 
@@ -464,17 +569,42 @@ def propagate_strong_host(data: CostData, state: PMState, cfg: PropCfg,
     key, k_sel = jax.random.split(key)
     key, k_ref = jax.random.split(key)
     pad = (-B) % chunk
-    xp = np.pad(x_np, (0, pad)).astype(np.int32)
-    yp = np.pad(y_np, (0, pad)).astype(np.int32)
+    # edge-pad: padding lanes must repeat a REAL pixel so the band bounds
+    # pre-pass covers exactly what the body gathers (padded outputs are
+    # discarded by the commit's [:B])
+    xp = np.pad(x_np, (0, pad), mode="edge").astype(np.int32)
+    yp = np.pad(y_np, (0, pad), mode="edge").astype(np.int32)
+    nc = len(xp) // chunk
     body = _strong_chunk_jit(cfg)
+
+    from ..core.sampling import static_bands_enabled
+    fits_np = None
+    if static_bands_enabled(data.src_quads):
+        from .bands import sweep_extent
+        prepass = _strong_prepass_jit(
+            cfg, sweep_extent(cfg.strong_radius, cfg.use_sa))
+        bb = prepass(data, state, k_ref,
+                     jnp.asarray(xp.reshape(nc, chunk)),
+                     jnp.asarray(yp.reshape(nc, chunk)),
+                     depth_min, depth_max)
+        fits_np = np.asarray(bb.fits)              # one sync per sweep
+        origins = bb.origin
+        banded_body = _strong_chunk_banded_jit(cfg)
+        BAND_DISPATCH_STATS["strong"][0] += int(fits_np.sum())
+        BAND_DISPATCH_STATS["strong"][1] += int(nc - fits_np.sum())
+
     outs = []
-    for ci in range(len(xp) // chunk):
+    for ci in range(nc):
         sl = slice(ci * chunk, (ci + 1) * chunk)
-        outs.append(body(data, state, jnp.asarray(iteration, jnp.int32),
-                         jax.random.fold_in(k_sel, ci),
-                         jax.random.fold_in(k_ref, ci),
-                         jnp.asarray(xp[sl]), jnp.asarray(yp[sl]),
-                         depth_min, depth_max, geom_factor))
+        args = (data, state, jnp.asarray(iteration, jnp.int32),
+                jax.random.fold_in(k_sel, ci),
+                jax.random.fold_in(k_ref, ci),
+                jnp.asarray(xp[sl]), jnp.asarray(yp[sl]))
+        if fits_np is not None and fits_np[ci]:
+            outs.append(banded_body(*args, origins[ci], depth_min,
+                                    depth_max, geom_factor))
+        else:
+            outs.append(body(*args, depth_min, depth_max, geom_factor))
         _throttle(outs)
     cat = [jnp.concatenate([o[i] for o in outs], axis=0) for i in range(4)]
     return _strong_commit_jit(cfg)(state, color, *cat)

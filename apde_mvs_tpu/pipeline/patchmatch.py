@@ -296,14 +296,29 @@ def _jit_make_planes(shape, first_init: bool):
 
 
 @functools.lru_cache(maxsize=64)
-def _jit_init_chunk(num_src, cfg: StaticCfg):
+def _jit_init_chunk(num_src, cfg: StaticCfg, banded: bool = False):
     params = PatchMatchParams(
         strong_radius=cfg.prop.strong_radius,
         strong_increment=cfg.prop.strong_increment,
         use_sa=cfg.prop.use_sa, top_k=cfg.prop.top_k)
 
-    def f(data, planes_c, x, y):
-        return init_ops.initial_cost_chunk(data, planes_c, x, y, params)
+    if banded:
+        def f(data, planes_c, x, y, origins):
+            return init_ops.initial_cost_chunk(data, planes_c, x, y, params,
+                                               origins=origins)
+    else:
+        def f(data, planes_c, x, y):
+            return init_ops.initial_cost_chunk(data, planes_c, x, y, params)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_init_prepass(num_src, cfg: StaticCfg):
+    from ..ops import bands
+    ext = bands.sweep_extent(cfg.prop.strong_radius, cfg.prop.use_sa)
+
+    def f(data, xs, ys, planes):
+        return bands.plane_chunk_bounds(data, xs, ys, planes, ext)
     return jax.jit(f)
 
 
@@ -382,17 +397,41 @@ def _init_host(data, state, key, cfg: StaticCfg, nw_cap, first_init,
     xf = xs.reshape(-1).astype(np.float32)
     yf = ys.reshape(-1).astype(np.float32)
     pad = (-n) % chunk
-    xf = np.pad(xf, (0, pad))
-    yf = np.pad(yf, (0, pad))
+    # edge-pad so the band bounds pre-pass covers exactly what the padded
+    # lanes gather (outputs beyond n are discarded)
+    xf = np.pad(xf, (0, pad), mode="edge")
+    yf = np.pad(yf, (0, pad), mode="edge")
     planes_flat = jnp.concatenate(
         [planes.reshape(-1, 4),
-         jnp.zeros((pad, 4), planes.dtype)]) if pad else planes.reshape(-1, 4)
+         jnp.repeat(planes.reshape(-1, 4)[-1:], pad, axis=0)]) if pad \
+        else planes.reshape(-1, 4)
+    nc = (n + pad) // chunk
     body = _jit_init_chunk(S, cfg)
+
+    from ..core.sampling import static_bands_enabled
+    from ..ops.propagation import BAND_DISPATCH_STATS
+    fits_np = None
+    if static_bands_enabled(data.src_quads):
+        bb = _jit_init_prepass(S, cfg)(
+            data, jnp.asarray(xf.reshape(nc, chunk)),
+            jnp.asarray(yf.reshape(nc, chunk)),
+            planes_flat.reshape(nc, chunk, 4))
+        fits_np = np.asarray(bb.fits)
+        origins = bb.origin
+        banded_body = _jit_init_chunk(S, cfg, banded=True)
+        BAND_DISPATCH_STATS["init"][0] += int(fits_np.sum())
+        BAND_DISPATCH_STATS["init"][1] += int(nc - fits_np.sum())
+
     outs = []
-    for ci in range((n + pad) // chunk):
-        outs.append(body(data, planes_flat[ci * chunk:(ci + 1) * chunk],
-                         jnp.asarray(xf[ci * chunk:(ci + 1) * chunk]),
-                         jnp.asarray(yf[ci * chunk:(ci + 1) * chunk])))
+    for ci in range(nc):
+        sl = slice(ci * chunk, (ci + 1) * chunk)
+        if fits_np is not None and fits_np[ci]:
+            outs.append(banded_body(data, planes_flat[sl],
+                                    jnp.asarray(xf[sl]), jnp.asarray(yf[sl]),
+                                    origins[ci]))
+        else:
+            outs.append(body(data, planes_flat[sl], jnp.asarray(xf[sl]),
+                             jnp.asarray(yf[sl])))
         _throttle(outs)
     costs = jnp.concatenate(outs, axis=0)[:n]
 
@@ -490,16 +529,37 @@ def _jit_local_refine(shape, num_src, cfg: StaticCfg, chunk: int,
 
 @functools.lru_cache(maxsize=64)
 def _jit_sweep_view(shape, num_src, cfg: StaticCfg, sb: int, ncols: int,
-                    include_now: bool):
+                    include_now: bool, banded: bool = False):
     num_steps = ncols - int(include_now)
 
-    def f(data, state, acc, x, y, pos, view, geom_factor):
-        return filters.sweep_curve_view(
-            data, state, acc, x, y, pos, view, cfg.prop.use_sa,
-            cfg.prop.geom_consistency, geom_factor,
-            cfg.prop.strong_radius, cfg.prop.strong_increment,
-            num_steps=num_steps, include_now=include_now)
+    if banded:
+        def f(data, state, acc, x, y, pos, view, geom_factor, origin):
+            return filters.sweep_curve_view(
+                data, state, acc, x, y, pos, view, cfg.prop.use_sa,
+                cfg.prop.geom_consistency, geom_factor,
+                cfg.prop.strong_radius, cfg.prop.strong_increment,
+                num_steps=num_steps, include_now=include_now, origin=origin)
+    else:
+        def f(data, state, acc, x, y, pos, view, geom_factor):
+            return filters.sweep_curve_view(
+                data, state, acc, x, y, pos, view, cfg.prop.use_sa,
+                cfg.prop.geom_consistency, geom_factor,
+                cfg.prop.strong_radius, cfg.prop.strong_increment,
+                num_steps=num_steps, include_now=include_now)
     return jax.jit(f, donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_view_sweep_prepass(shape, num_src, cfg: StaticCfg, sb: int,
+                            ncols: int, include_now: bool):
+    from ..ops import bands
+    num_steps = ncols - int(include_now)
+    ext = bands.sweep_extent(cfg.prop.strong_radius, cfg.prop.use_sa)
+
+    def f(data, state, xs, ys, view):
+        return bands.view_sweep_bounds(data, state, xs, ys, view,
+                                       num_steps, include_now, ext)
+    return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=64)
@@ -569,24 +629,51 @@ def _view_major_run(data, state, mask, sel_np, cfg: StaticCfg, ncols: int,
     y_all = np.pad(cyy, (0, npad - n)).astype(np.int32)
     sb = _view_major_sb(ncols)
     sweep = _jit_sweep_view(shape, S, cfg, sb, ncols, include_now)
+    from ..core.sampling import static_bands_enabled
+    from ..ops.propagation import BAND_DISPATCH_STATS
+    use_bands = static_bands_enabled(data.src_quads)
+    if use_bands:
+        sweep_banded = _jit_sweep_view(shape, S, cfg, sb, ncols, include_now,
+                                       banded=True)
+        prepass = _jit_view_sweep_prepass(shape, S, cfg, sb, ncols,
+                                          include_now)
     sel_at = sel_np[cyy, cxx]                     # (n, S)
     acc = jnp.zeros((npad, ncols), jnp.float32)
     dispatched = 0
     for s in range(S):
         pos = np.nonzero(sel_at[:, s])[0].astype(np.int32)
-        for off in range(0, len(pos), sb):
-            part = pos[off:off + sb]
+        n_sl = -(-len(pos) // sb)
+        if n_sl == 0:
+            continue
+        # slice coordinate batches, padding lanes repeating a real pixel so
+        # the band bounds cover exactly what the body gathers (their
+        # scatter rows stay out of range and drop)
+        pos_pad = np.pad(pos, (0, n_sl * sb - len(pos)), mode="edge")
+        xs_all = cxx[pos_pad].reshape(n_sl, sb).astype(np.int32)
+        ys_all = cyy[pos_pad].reshape(n_sl, sb).astype(np.int32)
+        fits_np = None
+        if use_bands:
+            bb = prepass(data, state, jnp.asarray(xs_all),
+                         jnp.asarray(ys_all), jnp.int32(s))
+            fits_np = np.asarray(bb.fits)
+            origins = bb.origin
+            BAND_DISPATCH_STATS["view_major"][0] += int(fits_np.sum())
+            BAND_DISPATCH_STATS["view_major"][1] += int(n_sl
+                                                        - fits_np.sum())
+        for sl in range(n_sl):
+            part = pos[sl * sb:(sl + 1) * sb]
             m = len(part)
-            xs = np.zeros(sb, np.int32)
-            ys = np.zeros(sb, np.int32)
             # padding rows scatter out of range (dropped); keep pos sorted
             # and unique so the scatter-add lowers without a sort pass
             ps = npad + np.arange(sb, dtype=np.int32)
-            xs[:m] = cxx[part]
-            ys[:m] = cyy[part]
             ps[:m] = part
-            acc = sweep(data, state, acc, jnp.asarray(xs), jnp.asarray(ys),
-                        jnp.asarray(ps), jnp.int32(s), gf)
+            args = (data, state, acc, jnp.asarray(xs_all[sl]),
+                    jnp.asarray(ys_all[sl]), jnp.asarray(ps), jnp.int32(s),
+                    gf)
+            if fits_np is not None and fits_np[sl]:
+                acc = sweep_banded(*args, origins[sl])
+            else:
+                acc = sweep(*args)
             dispatched += 1
             if dispatched % 16 == 0:
                 # sliding completion barrier (see ops.propagation._throttle:

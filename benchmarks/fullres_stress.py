@@ -104,6 +104,12 @@ def main():
             "median_rel_depth_err_pct": round(float(np.median(rel)) * 100, 4),
             "pct_within_1pct": round(float((rel < 0.01).mean()) * 100, 1),
             "mem_gb": mem()}), flush=True)
+        from apde_mvs_tpu.ops.propagation import BAND_DISPATCH_STATS
+        print(json.dumps({"band_dispatch": {
+            k: {"banded": v[0], "plain": v[1]}
+            for k, v in BAND_DISPATCH_STATS.items()}}), flush=True)
+        for v in BAND_DISPATCH_STATS.values():
+            v[0] = v[1] = 0
         from apde_mvs_tpu.core import sampling
         if sampling.BAND_STATS:
             stats = {k: {"fast": v[0], "slow": v[1]}

@@ -192,6 +192,21 @@ def main():
                 return acc
             return lambda p: eval_all(data, win, p, org_view)
 
+        def make_static_hoisted():
+            @jax.jit
+            def eval_all(data, win, planes, origins):
+                data_b = bands.banded_view_tables(data, origins)
+
+                def body(carry, _):
+                    c, acc = carry
+                    cost = ncc_strong(data_b, xf, yf, planes[:, c], win,
+                                      origins=origins)
+                    return (c + 1, acc + cost.sum()), None
+                (_, acc), _ = jax.lax.scan(
+                    body, (jnp.int32(0), jnp.float32(0)), None, length=C)
+                return acc
+            return lambda p: eval_all(data, win, p, org_view)
+
         # one-off elementwise equality on candidate 0 (all arms must agree)
         c0_plain = jax.jit(lambda d, w, p: ncc_strong(d, xf, yf, p[:, 0], w)
                            )(data, win, base)
@@ -199,16 +214,23 @@ def main():
             d, xf, yf, p[:, 0], w, origins=o[0]))(data, win, base, org_cand)
         c0_view = jax.jit(lambda d, w, p, o: ncc_strong(
             d, xf, yf, p[:, 0], w, origins=o))(data, win, base, org_view)
+        c0_hoist = jax.jit(lambda d, w, p, o: ncc_strong(
+            bands.banded_view_tables(d, o), xf, yf, p[:, 0], w,
+            origins=o))(data, win, base, org_view)
         verify_equal(c0_plain, c0_cand, "strong static-cand vs plain")
         verify_equal(c0_plain, c0_view, "strong static-view vs plain")
+        verify_equal(c0_plain, c0_hoist, "strong static-hoisted vs plain")
 
         t_plain, cks = run("strong/plain", make_plain, rows, base)
         t_cand, _ = run("strong/static-cand", make_static_cand, rows, base)
         t_view, _ = run("strong/static-view", make_static_view, rows, base)
+        t_hoist, _ = run("strong/static-hoisted", make_static_hoisted,
+                         rows, base)
         print(json.dumps({
             "probe": "strong/summary",
             "speedup_cand": round(t_plain / t_cand, 3),
             "speedup_view": round(t_plain / t_view, 3),
+            "speedup_hoisted": round(t_plain / t_hoist, 3),
             "bounds_overhead_pct": round(100 * bounds_s / t_plain, 1)}),
             flush=True)
 

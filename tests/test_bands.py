@@ -134,3 +134,131 @@ def test_bounds_cover_actual_gather_indices(big_scene):
         org = int(bb.origin[0, s])
         assert idx.min() >= org
         assert idx.max() < org + BAND_ROWS
+
+
+def test_strong_host_banded_matches_plain(monkeypatch):
+    """The production host-dispatched strong sweep with static-band dispatch
+    must be bitwise identical to the plain path (band shrunk so a small
+    scene exercises it; at least one chunk must actually ride the band)."""
+    import jax
+    from apde_mvs_tpu.core import sampling
+    from apde_mvs_tpu.ops import propagation as P
+    from apde_mvs_tpu.ops.state import PMState
+    from apde_mvs_tpu.ops import init as init_ops
+    from apde_mvs_tpu.ops.cost import initial_cost_and_selection
+    from apde_mvs_tpu.config import PatchMatchParams
+
+    monkeypatch.setattr(sampling, "BAND_ROWS", 16384)
+    h, w, V = 248, 136, 3
+    scene = synthetic.make_scene(num_views=V, height=h, width=w,
+                                 baseline=0.2, focal=1.2 * w)
+    cams = geo.CameraArrays.from_cameras(scene.cameras)
+    src_ids = np.asarray([v for v in range(V) if v != 0])
+    data = CostData.build(
+        cams.view(0), geo.CameraArrays(*[a[src_ids] for a in cams]),
+        jnp.asarray(scene.images[0]), jnp.asarray(scene.images[src_ids]),
+        real_width=w, real_height=h, sampler_u8=True)
+    assert sampling.static_bands_enabled(data.src_quads)
+
+    # plausible state: gt planes + jitter, initial costs/selection
+    # (rebuilt per arm — the host sweep's commit DONATES the state)
+    gt_d = jnp.asarray(scene.depths[0])
+    gt_n = jnp.asarray(scene.normals[0])
+
+    def make_state():
+        key = jax.random.PRNGKey(7)
+        jit_d = gt_d * (1.0 + 0.01 * jax.random.normal(key, gt_d.shape))
+        from apde_mvs_tpu.ops.filters import depth_normal_to_planes
+        state = PMState.create(h, w, data.num_src)
+        planes = depth_normal_to_planes(data, jit_d, gt_n)
+        state = state.replace(planes=planes)
+        params = PatchMatchParams()
+        state = init_ops.initial_cost(data, state, params, False,
+                                      jnp.zeros((1,), jnp.int32),
+                                      jnp.zeros((1,), jnp.int32),
+                                      jnp.zeros((1,), bool),
+                                      jnp.zeros((1, 9, 2), jnp.int32))
+        return jax.block_until_ready(state)
+
+    cfg = P.PropCfg(use_sa=False)
+    kw = dict(iteration=0, key=jax.random.PRNGKey(3), color=0,
+              depth_min=jnp.float32(float(gt_d.min()) * 0.7),
+              depth_max=jnp.float32(float(gt_d.max()) * 1.3),
+              geom_factor=jnp.float32(0.2), chunk=4096)
+
+    before = P.BAND_DISPATCH_STATS["strong"][0]
+    sampling.set_static_bands(True)
+    out_b = P.propagate_strong_host(data, make_state(), cfg, **kw)
+    out_b = jax.block_until_ready(out_b)
+    banded_chunks = P.BAND_DISPATCH_STATS["strong"][0] - before
+    assert banded_chunks > 0, "no chunk rode the band - test is vacuous"
+
+    sampling.set_static_bands(False)
+    try:
+        out_p = jax.block_until_ready(
+            P.propagate_strong_host(data, make_state(), cfg, **kw))
+    finally:
+        sampling.set_static_bands(True)
+
+    np.testing.assert_array_equal(np.asarray(out_b.planes),
+                                  np.asarray(out_p.planes))
+    np.testing.assert_array_equal(np.asarray(out_b.costs),
+                                  np.asarray(out_p.costs))
+    np.testing.assert_array_equal(np.asarray(out_b.selected),
+                                  np.asarray(out_p.selected))
+
+
+@pytest.mark.slow
+def test_full_pass_banded_matches_plain(monkeypatch):
+    """run_patchmatch in host-dispatch mode with static bands on vs off:
+    init chunks, strong sweeps and the view-major classify/refine must all
+    be bitwise identical, and each site must actually ride the band."""
+    import jax
+    from apde_mvs_tpu.core import sampling
+    from apde_mvs_tpu.ops import propagation as P
+    from apde_mvs_tpu.pipeline import patchmatch as pm
+    from apde_mvs_tpu.config import PatchMatchParams
+
+    monkeypatch.setattr(sampling, "BAND_ROWS", 16384)
+    monkeypatch.setattr(pm, "_iterations_host_mode",
+                        lambda shape, S, cfg, u8=True: True)
+    monkeypatch.setattr(pm, "_host_chunks", lambda S: (4096, 2048))
+    monkeypatch.setenv("APDE_VIEW_MAJOR", "1")
+    # slices must span fewer raster rows than the (shrunken) band
+    monkeypatch.setenv("APDE_VIEW_SB", "2048")
+
+    h, w, V = 248, 136, 3
+    scene = synthetic.make_scene(num_views=V, height=h, width=w,
+                                 baseline=0.2, focal=1.2 * w)
+    cams = geo.CameraArrays.from_cameras(scene.cameras)
+    src_ids = np.asarray([v for v in range(V) if v != 0])
+    data = CostData.build(
+        cams.view(0), geo.CameraArrays(*[a[src_ids] for a in cams]),
+        jnp.asarray(scene.images[0]), jnp.asarray(scene.images[src_ids]),
+        real_width=w, real_height=h, sampler_u8=True)
+    params = PatchMatchParams(state="first_init", max_iterations=2,
+                              use_sa=False)
+    d_lo = float(scene.depths[0][scene.depths[0] > 0].min())
+    d_hi = float(scene.depths[0].max())
+
+    def run():
+        return pm.run_patchmatch(
+            data, params, depth_min=d_lo * 0.7, depth_max=d_hi * 1.3,
+            seed=11, classify_chunk=4096)
+
+    before = {k: list(v) for k, v in P.BAND_DISPATCH_STATS.items()}
+    sampling.set_static_bands(True)
+    out_b = run()
+    for site in ("strong", "init", "view_major"):
+        assert P.BAND_DISPATCH_STATS[site][0] > before[site][0], \
+            f"site {site} never rode the band - vacuous"
+    sampling.set_static_bands(False)
+    try:
+        out_p = run()
+    finally:
+        sampling.set_static_bands(True)
+
+    np.testing.assert_array_equal(out_b.depth, out_p.depth)
+    np.testing.assert_array_equal(out_b.cost, out_p.cost)
+    np.testing.assert_array_equal(out_b.weak, out_p.weak)
+    np.testing.assert_array_equal(out_b.normal, out_p.normal)

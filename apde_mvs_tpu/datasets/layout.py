@@ -67,3 +67,32 @@ def count_images(scan_dir,
               for s in suffixes if s}
     return sum(1 for e in image_dir.iterdir()
                if e.is_file() and e.suffix.lower() in wanted)
+
+
+# ETH3D's undistorted download keeps the COLMAP model under
+# dslr_calibration_undistorted/ (and photos under
+# images/dslr_images_undistorted/, which the converter resolves through the
+# model's relative image names); COLMAP itself writes sparse/ or sparse/0.
+DEFAULT_SPARSE_DIR_CANDIDATES: Tuple[str, ...] = (
+    "sparse", "sparse/0", "dslr_calibration_undistorted")
+
+
+def normalize_sparse_dir(scan_dir,
+                         candidates: Iterable[str] =
+                         DEFAULT_SPARSE_DIR_CANDIDATES) -> Path:
+    """Guarantee `<scan_dir>/sparse` exists (the COLMAP->MVSNet converter's
+    model directory), aliasing the real model directory with a symlink when
+    it lives elsewhere — the ETH3D-undistorted case."""
+    scan_dir = Path(scan_dir)
+    canonical = scan_dir / "sparse"
+    if canonical.is_dir():
+        return canonical
+    if canonical.exists():
+        raise FileExistsError(f"{canonical} exists but is not a directory")
+    for cand in candidates:
+        path = scan_dir.joinpath(*Path(cand).parts)
+        if path.is_dir():
+            canonical.symlink_to(path.resolve())
+            return canonical
+    raise FileNotFoundError(
+        f"no COLMAP model among {list(candidates)} under {scan_dir}")

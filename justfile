@@ -31,3 +31,7 @@ reconstruct data_dir *args:
 
 eval-eth data_dir gt_dir *args:
     python -m apde_mvs_tpu.tools.eval_eth --data_dir {{data_dir}} --gt_dir {{gt_dir}} {{args}}
+
+# ETH3D training-set pipeline: normalize -> convert -> run -> fuse -> eval
+eth3d-train eth3d_dir work_dir gt_dir *args:
+    python -m apde_mvs_tpu.tools.eth3d_train --eth3d_dir {{eth3d_dir}} --work_dir {{work_dir}} --gt_dir {{gt_dir}} {{args}}

@@ -46,3 +46,39 @@ def test_collectors(tmp_path):
     collect.collect_tat(str(data2), str(out3))
     assert (out3 / "office.ply").exists()
     assert (out3 / "office.log").exists()
+
+
+def test_anchor_vis_overlay_with_taps(tmp_path):
+    """Headless anchor inspection renders the anchor set AND the NCC window
+    taps (reference anchor_vis.py:143-181), SA-gated when a mask is given."""
+    import numpy as np
+    from apde_mvs_tpu.io.binmat import write_bin_mat
+    from apde_mvs_tpu.io.images import read_image_color
+    from apde_mvs_tpu.tools import anchor_vis
+
+    h, w = 40, 48
+    amap = np.full((h, w), -1, np.int32)
+    amap[20, 24] = 0
+    write_bin_mat(tmp_path / "anchors_map.bin", amap)
+    anchors = np.array([[[24, 20], [10, 10], [35, 30], [-1, -1],
+                         [-1, -1], [-1, -1], [-1, -1], [-1, -1], [-1, -1]]],
+                       np.int16)
+    with open(tmp_path / "anchors.bin", "wb") as f:
+        np.asarray([1, 9], np.int32).tofile(f)
+        anchors.tofile(f)
+    sa = np.zeros((h, w), np.int32)
+    sa[:, :28] = 3            # center's segment covers x < 28
+    write_bin_mat(tmp_path / "sa.bin", sa)
+
+    out = tmp_path / "overlay.png"
+    rc = anchor_vis.main(["--result_folder", str(tmp_path),
+                          "--point", "24,20", "--out", str(out),
+                          "--sa_mask", str(tmp_path / "sa.bin")])
+    assert rc == 0 and out.exists()
+    img = read_image_color(str(out))
+    # center (dark green), center taps (light green), cross-segment taps
+    # (blue), in-segment anchor (10,10) marked with its sparse taps; the
+    # out-of-segment anchor (35,30) skipped
+    assert not (img == np.full(3, 32)).all(), "overlay drew nothing"
+    colors = {tuple(c) for c in img.reshape(-1, 3)}
+    assert len(colors) >= 4, f"expected >=4 overlay colors, got {colors}"

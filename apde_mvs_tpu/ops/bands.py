@@ -109,7 +109,7 @@ def _corner_wy(data: CostData, src_cam, x, y, n0, n1, n2, w,
     """Clipped warped-Y at the 4 corner taps + per-corner hull validity.
 
     x, y broadcast against the plane components; returns (wy, ok) with a
-    trailing corner axis of 4."""
+    LEADING corner axis of 4 (keeps the pixel batch on the minor dim)."""
     h10, h11, h12, h20, h21, h22 = _h_rows(data.ref_cam, src_cam,
                                            n0, n1, n2, w)
     corners = _corner_taps(max_extent)
@@ -123,7 +123,7 @@ def _corner_wy(data: CostData, src_cam, x, y, n0, n1, n2, w,
         oks.append(jnp.isfinite(den) & (den > _DENOM_EPS)
                    & jnp.isfinite(wyc))
         wys.append(wyc)
-    return jnp.stack(wys, axis=-1), jnp.stack(oks, axis=-1)
+    return jnp.stack(wys, axis=0), jnp.stack(oks, axis=0)
 
 
 def _rows_to_bounds(data: CostData, lo_row, hi_row, ok) -> BandBounds:
@@ -154,20 +154,24 @@ def strong_bounds(data: CostData, x, y, planes, max_extent: int,
     the C-aggregate-init quirk — so their garbage warps never surface) and
     refinement variants of unreachable winners. The current plane and its
     reachable refinements must always be bounded."""
-    n0, n1, n2, w = (planes[..., 0], planes[..., 1], planes[..., 2],
-                     planes[..., 3])                       # (B, C) each
-    xb = x[:, None]
-    yb = y[:, None]
+    # layout: candidate-major (C, B) so the MINOR dim is the pixel batch —
+    # (B, C=36) tensors pad 36 lanes to 128 on TPU (tiny-minor-dim tile
+    # pathology; measured on the first full-res run, PERF_NOTES r3)
+    pT = jnp.moveaxis(planes, 1, 0)                        # (C, B, 4)
+    n0, n1, n2, w = (pT[..., 0], pT[..., 1], pT[..., 2], pT[..., 3])
+    xb = x[None, :]
+    yb = y[None, :]
     if valid is None:
         valid = jnp.ones(planes.shape[:2], bool)
-    v3 = valid[:, :, None]
+    validT = jnp.moveaxis(valid, 1, 0)                     # (C, B)
+    v3 = validT[None, :, :]                                # (1, C, B)
 
     def one_view(cam_leaves):
         src_cam = geo.CameraArrays(*cam_leaves)
         wy, okc = _corner_wy(data, src_cam, xb, yb, n0, n1, n2, w,
-                             max_extent)                   # (B, C, 4)
+                             max_extent)                   # (4, C, B)
         ok = jnp.all(okc | ~v3, axis=(0, 2))               # (C,)
-        any_valid = jnp.any(valid, axis=0)
+        any_valid = jnp.any(validT, axis=1)
         lo = jnp.floor(jnp.min(jnp.where(v3, wy, jnp.inf),
                                axis=(0, 2)))
         hi = jnp.floor(jnp.max(jnp.where(v3, wy, -jnp.inf),
@@ -276,15 +280,27 @@ def view_sweep_bounds(data: CostData, state, xs, ys, view,
     """Per-slice union bands for the view-major classify/refine sweeps
     against ONE source view: xs, ys (n_sl, sb) int32 pixels in dispatch
     order (padding lanes must repeat real pixels), `view` a traced view
-    index. Reconstructs filters.sweep_curve_view's probe depths bit-for-bit
-    (same _sweep_scalars + disparity-step formula, including the
-    denominator-pole steps whose clamped warps the bound must cover).
-    Returns origins (n_sl,), fits (n_sl,)."""
+    index. Returns origins (n_sl,), fits (n_sl,).
+
+    ENDPOINT bound, not per-step evaluation (evaluating all 61 steps made
+    the pre-pass cost more than the banded sweep saved — first full-res r3
+    run): for a fixed pixel and corner tap, along the disparity sweep the
+    probe plane's w is c/(disp+p), so both the warp numerator and
+    denominator, h·t = A_t + B_t (disp+p)/c, are AFFINE in the step p.
+    Warped-Y is therefore a Möbius function of p: if the (affine)
+    denominator is >= eps at BOTH endpoint steps it is >= eps on the whole
+    interval (an affine function's minimum over an interval is at an
+    endpoint), the Möbius map has no pole inside, is monotone, and its
+    extremes are the endpoint values. The body's pole-step guard
+    (where(disp+p != 0, ., 1e-20)) lands on the same analytic continuation
+    (w huge -> den -> A_t), so no separate |disp| gate is needed. The
+    current-depth column of LocalRefine is step p=0 — inside the interval,
+    covered."""
     from .filters import _sweep_scalars
     cam = data.ref_cam
     src_cam = data.src_cams.view(view)
     radius = (num_steps - 1) // 2
-    steps = (jnp.arange(num_steps) - radius).astype(jnp.float32)
+    ends = jnp.asarray([-radius, radius], jnp.float32)
 
     def per_slice(_, inp):
         x, y = inp
@@ -292,31 +308,21 @@ def view_sweep_bounds(data: CostData, state, xs, ys, view,
         yf = y.astype(jnp.float32)
         sc = _sweep_scalars(data, state, x, y)
         n = sc.plane_cam[..., :3]                        # (sb, 3)
-        denom = jnp.where(sc.disp[:, None] + steps[None, :] != 0,
-                          sc.disp[:, None] + steps[None, :], 1e-20)
-        p_depth = cam.fx * sc.base_line[:, None] / denom  # (sb, steps)
-        if include_now:
-            p_depth = jnp.concatenate([p_depth, sc.depth[:, None]], axis=1)
-        nb = jnp.broadcast_to(n[:, None, :], p_depth.shape + (3,))
-        wdist = geo.plane_dist_to_origin(cam, xf[:, None], yf[:, None],
-                                         p_depth, nb)
-        h10, h11, h12, h20, h21, h22 = _h_rows(
-            cam, src_cam, nb[..., 0], nb[..., 1], nb[..., 2], wdist)
-        corners = _corner_taps(max_extent)
         los, his, oks = [], [], []
-        for k in range(4):
-            tx = xf[:, None] + float(corners[k, 0])
-            ty = yf[:, None] + float(corners[k, 1])
-            den = h20 * tx + h21 * ty + h22
-            wy = (h10 * tx + h11 * ty + h12) / den
-            wyc = jnp.clip(wy, 0.0, data.src_h - 1.0)
-            oks.append(jnp.isfinite(den) & (den > _DENOM_EPS)
-                       & jnp.isfinite(wyc))
-            los.append(jnp.min(wyc))
-            his.append(jnp.max(wyc))
-        ok = jnp.all(jnp.stack([jnp.all(o) for o in oks]))
-        lo = jnp.floor(jnp.min(jnp.stack(los))).astype(jnp.int32)
-        hi = jnp.floor(jnp.max(jnp.stack(his))).astype(jnp.int32)
+        for e in range(2):
+            dn = sc.disp + ends[e]
+            dn = jnp.where(dn != 0, dn, 1e-20)
+            p_depth = cam.fx * sc.base_line / dn          # (sb,)
+            wdist = geo.plane_dist_to_origin(cam, xf, yf, p_depth, n)
+            wy, okc = _corner_wy(data, src_cam, xf, yf, n[..., 0],
+                                 n[..., 1], n[..., 2], wdist,
+                                 max_extent)              # (4, sb)
+            oks.append(jnp.all(okc))
+            los.append(jnp.min(wy))
+            his.append(jnp.max(wy))
+        ok = oks[0] & oks[1]
+        lo = jnp.floor(jnp.minimum(los[0], los[1])).astype(jnp.int32)
+        hi = jnp.floor(jnp.maximum(his[0], his[1])).astype(jnp.int32)
         bb = _rows_to_bounds(data, lo, hi, ok)
         return 0, (bb.origin, bb.fits)
 

@@ -554,10 +554,14 @@ def _strong_commit_jit(cfg: PropCfg):
 
 def propagate_strong_host(data: CostData, state: PMState, cfg: PropCfg,
                           iteration, key, color: int, depth_min, depth_max,
-                          geom_factor, chunk=None) -> PMState:
+                          geom_factor, chunk=None,
+                          enable_bands: bool = True) -> PMState:
     """propagate_strong with one device program per pixel chunk (large
     images). Not usable inside a trace; pipeline code selects it statically
-    by image size."""
+    by image size. `enable_bands=False` skips the static-band pre-pass —
+    the caller knows the plane population cannot band (first_init's
+    full-range random planes measured a 0% chunk fit rate, so the pre-pass
+    would be pure overhead)."""
     chunk = chunk or _SWEEP_CHUNK
     h, w = state.costs.shape
     # chunk inputs in cb.color_coords order so the commit's (h, w//2)
@@ -579,7 +583,7 @@ def propagate_strong_host(data: CostData, state: PMState, cfg: PropCfg,
 
     from ..core.sampling import static_bands_enabled
     fits_np = None
-    if static_bands_enabled(data.src_quads):
+    if enable_bands and static_bands_enabled(data.src_quads):
         from .bands import sweep_extent
         prepass = _strong_prepass_jit(
             cfg, sweep_extent(cfg.strong_radius, cfg.use_sa))

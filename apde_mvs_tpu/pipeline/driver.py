@@ -385,6 +385,21 @@ def run_scan(dense_folder, dataset: str = "General", *,
                    -(-img0.shape[1] // spec.scale_size))
             n_src = max(len(p.src_image_ids) for p in problems)
             per_view = spmd_stage_seconds(eff, n_src, spec.params)
+            import jax as _jax
+            n_dev = len(_jax.devices())
+            # tile route (parallel.tile_pass): one view's pass row-sharded
+            # over ALL chips — engaged when views would leave chips idle
+            # (V < devices) or a single view busts the worker budget. Only
+            # non-APD passes: the tile engine's weak machinery is
+            # replicated, so APD stage estimates do not shrink by n.
+            tile_ok = not (spec.params.use_apd
+                           and spec.params.state != "first_init")
+            if tile_ok and n_dev > 1 \
+                    and (len(problems) < n_dev
+                         or per_view > _PROGRAM_BUDGET_S) \
+                    and per_view / n_dev <= _PROGRAM_BUDGET_S:
+                runner.run_pass_tiled(spec)
+                continue
             if per_view <= _PROGRAM_BUDGET_S:
                 runner.run_pass(spec, max_views_per_device=max(
                     1, int(_PROGRAM_BUDGET_S / per_view)))

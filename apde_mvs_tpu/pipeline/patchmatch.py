@@ -384,6 +384,8 @@ def _jit_depth_normal_median(shape, num_src):
 def _init_host(data, state, key, cfg: StaticCfg, nw_cap, first_init,
                weak_x, weak_y, weak_valid, anchors, depth_min, depth_max,
                chunk):
+    # (first_init's random planes measured a 0% band fit rate - skip the
+    # pre-pass entirely there)
     """Host-dispatched equivalent of _jit_init: plane init, chunked strong
     initial costs, weak rescore + top-k selection."""
     shape = (data.height, data.width)
@@ -411,7 +413,7 @@ def _init_host(data, state, key, cfg: StaticCfg, nw_cap, first_init,
     from ..core.sampling import static_bands_enabled
     from ..ops.propagation import BAND_DISPATCH_STATS
     fits_np = None
-    if static_bands_enabled(data.src_quads):
+    if static_bands_enabled(data.src_quads) and not first_init:
         bb = _jit_init_prepass(S, cfg)(
             data, jnp.asarray(xf.reshape(nc, chunk)),
             jnp.asarray(yf.reshape(nc, chunk)),
@@ -466,7 +468,8 @@ def _host_sync(tag, state):
 
 def _iterations_host(data, state, key, cfg: StaticCfg, nw_cap,
                      weak_x, weak_y, weak_valid, anchors,
-                     depth_min, depth_max, geom_factor):
+                     depth_min, depth_max, geom_factor,
+                     enable_bands: bool = True):
     """Host-dispatched equivalent of _jit_iterations (same stage order and
     key-split structure as the fused program)."""
     shape = (data.height, data.width)
@@ -479,7 +482,8 @@ def _iterations_host(data, state, key, cfg: StaticCfg, nw_cap,
         for color in (0, 1):
             state = propagate_strong_host(
                 data, state, cfg.prop, it, kcs[color], color,
-                depth_min, depth_max, geom_factor, chunk=chunk_s)
+                depth_min, depth_max, geom_factor, chunk=chunk_s,
+                enable_bands=enable_bands)
             _host_sync(f"strong it{it} color{color}", state)
         if cfg.use_apd and nw_cap > 0:
             fit = _jit_fit_planes(shape, S, cfg, nw_cap)(
@@ -848,7 +852,8 @@ def run_patchmatch(
         _host_sync("init", state)
         state = _iterations_host(data, state, k_iter, cfg, nw_cap,
                                  weak_x, weak_y, weak_valid, anchors,
-                                 dmin, dmax, gf)
+                                 dmin, dmax, gf,
+                                 enable_bands=not first_init)
     else:
         state = _jit_init(shape, S, cfg, nw_cap, first_init)(
             data, state, k_init, dmin, dmax, weak_x, weak_y, weak_valid,

@@ -208,6 +208,147 @@ class ViewParallelRunner:
         return pad_to_multiple(mat.astype(dtype), PAD_H, PAD_W,
                                mode="constant")
 
+    def run_pass_tiled(self, spec: cfg.PassSpec) -> None:
+        """Run one pass view-by-view, each view's pass row-sharded over ALL
+        devices (parallel.tile_pass): the few-views-many-chips route and the
+        over-budget route for non-APD passes (the tile engine's weak
+        machinery is replicated, so only non-APD stage estimates shrink by
+        the device count). File interchange semantics match the serial
+        engine (Jacobi neighbor depths)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from ..ops.selection import NUM_SAMPLES
+        from ..parallel.tile_pass import TileInputs, build_tile_pass
+
+        params = spec.params
+        geom_or_apd = params.geom_consistency or params.use_apd
+        use_apd = params.use_apd and params.state != "first_init"
+        first_init = params.state == "first_init"
+        devices = jax.devices() if self.mesh is None \
+            else list(self.mesh.devices.reshape(-1))
+        n = len(devices)
+        mesh = Mesh(np.asarray(devices), ("tiles",))
+        by_ref = {p.ref_image_id: p for p in self.problems}
+
+        for problem in self.problems:
+            t0 = time.time()
+            img, cam = _load_scaled_view(problem, problem.ref_image_id,
+                                         spec.scale_size, self.cache)
+            h, w = img.shape
+            # shard heights must be even: pad rows to a multiple of 2 * n
+            ref_p = pad_to_multiple(img, max(PAD_H, 2 * n), PAD_W)
+            ph, pw = ref_p.shape
+            valid = np.zeros((ph, pw), bool)
+            valid[:h, :w] = True
+            src_imgs, src_cams, src_depths = [], [], []
+            for sid in problem.src_image_ids:
+                simg, scam = _load_scaled_view(problem, sid, spec.scale_size,
+                                               self.cache)
+                src_imgs.append(pad_to_multiple(simg, max(PAD_H, 2 * n),
+                                                PAD_W))
+                src_cams.append(scam)
+                if geom_or_apd and sid in by_ref:
+                    d = read_bin_mat(by_ref[sid].result_folder / "depths.bin",
+                                     cache=self.cache)
+                    if d.shape[:2] != (h, w):
+                        d = resize_nearest(d, (h, w))
+                    src_depths.append(pad_to_multiple(
+                        d.astype(np.float32), max(PAD_H, 2 * n), PAD_W,
+                        mode="constant"))
+                else:
+                    src_depths.append(np.zeros((ph, pw), np.float32))
+            from ..core import geometry as geo
+            ref_cam = geo.CameraArrays.from_cameras([cam]).view(0)
+            scams = geo.CameraArrays.from_cameras(src_cams)
+
+            prior_depth = np.zeros((ph, pw), np.float32)
+            prior_normal = np.zeros((ph, pw, 3), np.float32)
+            prior_weak = np.full((ph, pw), UNKNOWN, np.int32)
+            prior_conf = np.ones((ph, pw), np.float32)
+            sa = np.zeros((ph, pw), np.int32)
+            if not first_init:
+                prior_depth[:] = self._tile_prior(problem, "depths.bin",
+                                                  (h, w), (ph, pw))
+                prior_normal[:] = self._tile_prior(problem, "normals.bin",
+                                                   (h, w), (ph, pw), 3)
+            cap = 0
+            wx = wy = np.zeros(1, np.int32)
+            if use_apd:
+                prior_weak[:] = np.where(
+                    valid, self._tile_prior(problem, "weak.bin", (h, w),
+                                            (ph, pw), dtype=np.int32),
+                    UNKNOWN)
+                prior_conf[:] = self._tile_prior(problem, "confidence.bin",
+                                                 (h, w), (ph, pw))
+                wyy, wxx = np.nonzero(prior_weak == WEAK)
+                cap = _bucket(len(wxx)) if len(wxx) else 0
+                wx = np.zeros(max(cap, 1), np.int32)
+                wy = np.zeros(max(cap, 1), np.int32)
+                wx[:len(wxx)] = wxx
+                wy[:len(wyy)] = wyy
+            weak_valid = np.zeros(max(cap, 1), bool)
+            if cap:
+                weak_valid[:len(np.nonzero(prior_weak == WEAK)[0])] = True
+
+            sampler_u8 = bool(params.sampler_u8)
+            images_np = np.clip(np.round(np.stack(src_imgs)), 0, 255
+                                ).astype(np.uint8) if sampler_u8 \
+                else np.stack(src_imgs).astype(np.float32)
+            ref_np = np.clip(np.round(ref_p), 0, 255).astype(np.uint8) \
+                if sampler_u8 else ref_p.astype(np.float32)
+            pass_cfg = PassStatic.from_params(
+                params, nw_cap=cap if use_apd else 0,
+                radius_budget=self.radius_budget,
+                sweep_k=min(len(problem.src_image_ids), NUM_SAMPLES))
+            step = build_tile_pass(mesh, pass_cfg,
+                                   len(problem.src_image_ids), (ph, pw),
+                                   (h, w))
+            key = jax.random.PRNGKey(
+                self.seed * 1000003 + problem.ref_image_id * 131
+                + spec.iteration)
+            tp = TileInputs(
+                ref_image=jnp.asarray(ref_np),
+                src_images=jnp.asarray(images_np),
+                ref_cam=ref_cam, src_cams=scams,
+                sa=jnp.asarray(sa), src_depths=jnp.asarray(
+                    np.stack(src_depths)),
+                prior_depth=jnp.asarray(prior_depth),
+                prior_normal=jnp.asarray(prior_normal),
+                prior_weak=jnp.asarray(prior_weak),
+                prior_conf=jnp.asarray(prior_conf),
+                valid=jnp.asarray(valid),
+                weak_x=jnp.asarray(wx), weak_y=jnp.asarray(wy),
+                weak_valid=jnp.asarray(weak_valid), key=key,
+                dmin=jnp.float32(cam.depth_min * cfg.DEPTH_MIN_FACTOR),
+                dmax=jnp.float32(cam.depth_max * cfg.DEPTH_MAX_FACTOR))
+            depth, normal, weak, conf, _cost = step(
+                tp, jnp.float32(params.ransac_threshold),
+                jnp.int32(params.weak_peak_radius),
+                jnp.float32(params.geom_factor))
+            pm_ms = (time.time() - t0) * 1000
+            persist_view_results(
+                problem, spec, np.asarray(depth)[:h, :w],
+                np.asarray(normal)[:h, :w],
+                np.asarray(weak)[:h, :w],
+                np.clip(np.asarray(conf)[:h, :w], 0, 255).astype(np.uint8),
+                float(cam.depth_min * cfg.DEPTH_MIN_FACTOR),
+                float(cam.depth_max * cfg.DEPTH_MAX_FACTOR), geom_or_apd,
+                self.cache, show_medium_result=spec.show_medium_result)
+            problem.used_time_ms += pm_ms
+            print(f"Processed view {format_index(problem.ref_image_id)} "
+                  f"iter {spec.iteration} TILED over {n} device(s): "
+                  f"{pm_ms:.0f} ms", flush=True)
+
+    def _tile_prior(self, problem: Problem, name: str, hw, phw,
+                    channels: int = 0, dtype=np.float32) -> np.ndarray:
+        mat = read_bin_mat(problem.result_folder / name, cache=self.cache)
+        if mat.shape[:2] != hw:
+            mat = resize_nearest(mat, hw)
+        out = np.zeros(phw + ((channels,) if channels else ()), dtype)
+        out[:hw[0], :hw[1]] = mat.astype(dtype)
+        return out
+
     def run_pass(self, spec: cfg.PassSpec,
                  max_views_per_device: Optional[int] = None) -> None:
         """Run one pass for all views. `max_views_per_device` additionally

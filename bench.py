@@ -11,6 +11,15 @@ plane + 5 refinement probes). Baseline target: 5 MP-hyp/s/chip
 (BASELINE.md north-star).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`python bench.py --full` instead runs the FULL-PASS section (round-2 review
+next-round #5: the primary line covers only photometric strong sweeps on a
+fast-gather-path table; the real protocol's other half — DepthToWeak, weak
+sweeps, the slow big-table regime — must be timed too): one complete
+first_init + APD refine pass per view at 800x608x11 (fused-program,
+sub-band-edge regime) and at 1280x960x11 (>=4 MiB table: host-dispatched
+chunks + static-band gathers), via benchmarks/fullres_stress. Results are
+recorded in PERF_NOTES.md per round.
 """
 
 import json
@@ -20,7 +29,23 @@ import time
 import numpy as np
 
 
+def full_pass_section():
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    os.environ.setdefault("APDE_STAGE_TIMING", "1")
+    import fullres_stress
+    for w, h in ((800, 608), (1280, 960)):
+        print(json.dumps({"full_pass_regime": f"{w}x{h}x11"}), flush=True)
+        sys.argv = ["fullres_stress", "--width", str(w), "--height", str(h),
+                    "--views", "11"]
+        fullres_stress.main()
+    return 0
+
+
 def main():
+    if "--full" in sys.argv:
+        return full_pass_section()
     import jax
 
     from apde_mvs_tpu.core.platform import enable_compilation_cache

@@ -236,15 +236,25 @@ def test_full_pass_banded_matches_plain(monkeypatch):
         cams.view(0), geo.CameraArrays(*[a[src_ids] for a in cams]),
         jnp.asarray(scene.images[0]), jnp.asarray(scene.images[src_ids]),
         real_width=w, real_height=h, sampler_u8=True)
-    params = PatchMatchParams(state="first_init", max_iterations=2,
-                              use_sa=False)
     d_lo = float(scene.depths[0][scene.depths[0] > 0].min())
     d_hi = float(scene.depths[0].max())
 
+    # first_init correctly skips the band pre-passes (random planes measured
+    # a 0% fit rate); its outputs prime a refine pass where bands engage
+    first = PatchMatchParams(state="first_init", max_iterations=2,
+                             use_sa=False)
+    out0 = pm.run_patchmatch(
+        data, first, depth_min=d_lo * 0.7, depth_max=d_hi * 1.3,
+        seed=11, classify_chunk=4096)
+
+    params = PatchMatchParams(state="refine_iter", max_iterations=2,
+                              use_sa=False, geom_consistency=False)
+
     def run():
         return pm.run_patchmatch(
-            data, params, depth_min=d_lo * 0.7, depth_max=d_hi * 1.3,
-            seed=11, classify_chunk=4096)
+            data, params, prior_depth=out0.depth, prior_normal=out0.normal,
+            depth_min=d_lo * 0.7, depth_max=d_hi * 1.3,
+            seed=12, classify_chunk=4096)
 
     before = {k: list(v) for k, v in P.BAND_DISPATCH_STATS.items()}
     sampling.set_static_bands(True)

@@ -262,13 +262,16 @@ def spmd_stage_seconds(shape, num_src: int, params) -> float:
     return max(sweep, classify, refine) / rate
 
 
-def _host_chunks(num_src: int) -> Tuple[int, int]:
+def _host_chunks(num_src: int, banded: bool = False) -> Tuple[int, int]:
     """(strong, weak) chunk sizes targeting ~15 s per dispatched program,
     bucketed to powers of two so few chunk-shaped kernels compile.
-    APDE_CHUNK_STRONG / APDE_CHUNK_WEAK override for experiments (the
-    strong chunk also bounds the banded-gather window fit: a chunk of C
-    same-color pixels spans ~2C/W reference rows of warp input vs the
-    BAND_ROWS/W-row gather band)."""
+    APDE_CHUNK_STRONG / APDE_CHUNK_WEAK override for experiments.
+
+    `banded` caps the strong chunk at 2^17: the static-band fast path
+    needs the chunk's raster footprint (2C/W image rows for C same-color
+    pixels) plus candidate reach and warp spread to fit the BAND_ROWS/W-row
+    window — the default 2^18 chunk spans ~173 rows at ETH3D half-res vs
+    the 260-row band and measured a 0% fit rate; 2^17 spans ~87."""
     import os
     budget_rows = 2.5e9
 
@@ -280,6 +283,8 @@ def _host_chunks(num_src: int) -> Tuple[int, int]:
 
     cs = int(os.environ.get("APDE_CHUNK_STRONG", "0")) \
         or bucket(budget_rows / (14 * num_src * 36))
+    if banded:
+        cs = min(cs, 1 << 17)
     cw = int(os.environ.get("APDE_CHUNK_WEAK", "0")) \
         or bucket(budget_rows / (15 * num_src * 324))
     return cs, cw
@@ -474,7 +479,9 @@ def _iterations_host(data, state, key, cfg: StaticCfg, nw_cap,
     key-split structure as the fused program)."""
     shape = (data.height, data.width)
     S = data.num_src
-    chunk_s, chunk_w = _host_chunks(S)
+    from ..core.sampling import static_bands_enabled
+    chunk_s, chunk_w = _host_chunks(
+        S, banded=enable_bands and static_bands_enabled(data.src_quads))
     keys = jax.random.split(key, cfg.max_iterations)
     for it in range(cfg.max_iterations):
         k1, k2, k3 = jax.random.split(keys[it], 3)
@@ -584,9 +591,12 @@ def _jit_refine_finish(shape, num_src, cfg: StaticCfg, chunk: int):
     return jax.jit(f)
 
 
-def _view_major_sb(ncols: int) -> int:
+def _view_major_sb(ncols: int, banded: bool = False) -> int:
     """Per-view program batch, sized for ~1.5 s of fast-path gathers
-    (0.6 G rows / ncols / 36 taps, power-of-two); APDE_VIEW_SB overrides."""
+    (0.6 G rows / ncols / 36 taps, power-of-two); APDE_VIEW_SB overrides.
+    `banded` caps the batch at 2^16 so the slice's raster span (batch /
+    (W * selection density) rows) fits the static-band window — the 2^18
+    default measured a ~50% slice fit rate at ETH3D half-res."""
     import os
     env = int(os.environ.get("APDE_VIEW_SB", "0"))
     if env:
@@ -595,6 +605,8 @@ def _view_major_sb(ncols: int) -> int:
     b = 1 << 14
     while b * 2 <= min(target, 1 << 19):
         b *= 2
+    if banded:
+        b = min(b, 1 << 16)
     return b
 
 
@@ -631,11 +643,11 @@ def _view_major_run(data, state, mask, sel_np, cfg: StaticCfg, ncols: int,
     npad = -(-n // chunk) * chunk
     x_all = np.pad(cxx, (0, npad - n)).astype(np.int32)
     y_all = np.pad(cyy, (0, npad - n)).astype(np.int32)
-    sb = _view_major_sb(ncols)
-    sweep = _jit_sweep_view(shape, S, cfg, sb, ncols, include_now)
     from ..core.sampling import static_bands_enabled
     from ..ops.propagation import BAND_DISPATCH_STATS
     use_bands = static_bands_enabled(data.src_quads)
+    sb = _view_major_sb(ncols, banded=use_bands)
+    sweep = _jit_sweep_view(shape, S, cfg, sb, ncols, include_now)
     if use_bands:
         sweep_banded = _jit_sweep_view(shape, S, cfg, sb, ncols, include_now,
                                        banded=True)
@@ -845,7 +857,9 @@ def run_patchmatch(
         # large images: one device program per chunk (the fused program
         # would exceed the remote worker's execution budget; see the
         # host-dispatch section above)
-        chunk_s, _ = _host_chunks(S)
+        from ..core.sampling import static_bands_enabled as _sbe
+        chunk_s, _ = _host_chunks(
+            S, banded=(not first_init) and _sbe(data.src_quads))
         state = _init_host(data, state, k_init, cfg, nw_cap, first_init,
                            weak_x, weak_y, weak_valid, anchors, dmin, dmax,
                            chunk=chunk_s)

@@ -222,7 +222,7 @@ def test_full_pass_banded_matches_plain(monkeypatch):
     monkeypatch.setattr(sampling, "BAND_ROWS", 16384)
     monkeypatch.setattr(pm, "_iterations_host_mode",
                         lambda shape, S, cfg, u8=True: True)
-    monkeypatch.setattr(pm, "_host_chunks", lambda S: (4096, 2048))
+    monkeypatch.setattr(pm, "_host_chunks", lambda S, banded=False: (4096, 2048))
     monkeypatch.setenv("APDE_VIEW_MAJOR", "1")
     # slices must span fewer raster rows than the (shrunken) band
     monkeypatch.setenv("APDE_VIEW_SB", "2048")

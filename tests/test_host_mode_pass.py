@@ -44,7 +44,7 @@ def test_host_mode_first_init_matches_fused_quality(monkeypatch):
     monkeypatch.setattr(pm, "_iterations_host_mode",
                         lambda shape, S, cfg, u8=True: True)
     # exercise chunk-boundary padding too: B = 64*96/2 = 3072
-    monkeypatch.setattr(pm, "_host_chunks", lambda S: (1024, 512))
+    monkeypatch.setattr(pm, "_host_chunks", lambda S, banded=False: (1024, 512))
     out_host = _run_pass(scene, params, True)
 
     gt = scene.depths[0]
@@ -71,7 +71,7 @@ def test_host_mode_apd_pass_runs(monkeypatch):
     out_a = _run_pass(scene, first, False)
     monkeypatch.setattr(pm, "_iterations_host_mode",
                         lambda shape, S, cfg, u8=True: True)
-    monkeypatch.setattr(pm, "_host_chunks", lambda S: (1024, 512))
+    monkeypatch.setattr(pm, "_host_chunks", lambda S, banded=False: (1024, 512))
     # force the chunked anchor-generation path too (weak cap 4096 -> 4
     # chunks of 1024): covers _jit_jfa/_jit_anchor_chunk/_jit_neighbor_update
     monkeypatch.setattr(pm, "_APD_SETUP_CHUNK", 1024)

@@ -221,16 +221,37 @@ def main():
         verify_equal(c0_plain, c0_view, "strong static-view vs plain")
         verify_equal(c0_plain, c0_hoist, "strong static-hoisted vs plain")
 
+        def make_presliced():
+            # bands sliced by a SEPARATE program; the NCC program receives
+            # (S, BAND_ROWS, 4) tables as plain inputs — isolates whether
+            # the in-program dynamic_slice caps the banded rate
+            data_pre = jax.jit(bands.banded_view_tables)(data, org_view)
+            data_pre = jax.block_until_ready(data_pre)
+
+            @jax.jit
+            def eval_all(data_b, win, planes, origins):
+                def body(carry, _):
+                    c, acc = carry
+                    cost = ncc_strong(data_b, xf, yf, planes[:, c], win,
+                                      origins=origins)
+                    return (c + 1, acc + cost.sum()), None
+                (_, acc), _ = jax.lax.scan(
+                    body, (jnp.int32(0), jnp.float32(0)), None, length=C)
+                return acc
+            return lambda p: eval_all(data_pre, win, p, org_view)
+
         t_plain, cks = run("strong/plain", make_plain, rows, base)
         t_cand, _ = run("strong/static-cand", make_static_cand, rows, base)
         t_view, _ = run("strong/static-view", make_static_view, rows, base)
         t_hoist, _ = run("strong/static-hoisted", make_static_hoisted,
                          rows, base)
+        t_pre, _ = run("strong/pre-sliced", make_presliced, rows, base)
         print(json.dumps({
             "probe": "strong/summary",
             "speedup_cand": round(t_plain / t_cand, 3),
             "speedup_view": round(t_plain / t_view, 3),
             "speedup_hoisted": round(t_plain / t_hoist, 3),
+            "speedup_presliced": round(t_plain / t_pre, 3),
             "bounds_overhead_pct": round(100 * bounds_s / t_plain, 1)}),
             flush=True)
 

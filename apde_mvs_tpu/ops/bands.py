@@ -210,11 +210,15 @@ def strong_sweep_bounds(data: CostData, state, k_ref, xs, ys,
 
     Enumerates exactly the gathers the banded `_strong_body` performs: the
     8 checkerboard candidates + the current plane (9 possible winners), and
-    for each possible winner the 3 current-depth-anchored refinement
-    variants built from the SAME raw draws the body will use (slots 0/2 —
-    full-range random depth — stay full-table in the body, so they need no
-    bounds). Per-chunk raw keys fold exactly as propagate_strong_host's
-    body dispatch does."""
+    for each possible winner the 2 ANCHORED refinement variants (slots 3/4:
+    perturbed normal at current depth, current normal at ±2% depth) built
+    from the SAME raw draws the body will use. Slots 0/2 (full-range random
+    depth) and 1 (random normal) stay full-table in the body: random depths
+    span the epipolar segment, and a random unit normal is near-degenerate
+    (denominator ~0 at the window corners) for SOME pixel in any
+    chunk-sized batch — measured fit rate 0/24 with ground-truth planes
+    when slot 1 was in the union. Per-chunk raw keys fold exactly as
+    propagate_strong_host's body dispatch does."""
     from .propagation import checkerboard_candidates, refinement_from_raws, \
         refinement_raws
     from ..core.sampling import fetch
@@ -245,10 +249,10 @@ def strong_sweep_bounds(data: CostData, state, k_ref, xs, ys,
                                           depth_min, depth_max)
             variants.append(jnp.stack(
                 [geo.make_plane(cam, xf, yf, d5[:, i], n5[:, i])
-                 for i in (1, 3, 4)], axis=1))
-            valids.append(jnp.repeat(base_valid[:, wi:wi + 1], 3, axis=1))
-        allp = jnp.concatenate(variants, axis=1)               # (B, 36, 4)
-        allv = jnp.concatenate(valids, axis=1)                 # (B, 36)
+                 for i in (3, 4)], axis=1))
+            valids.append(jnp.repeat(base_valid[:, wi:wi + 1], 2, axis=1))
+        allp = jnp.concatenate(variants, axis=1)               # (B, 27, 4)
+        allv = jnp.concatenate(valids, axis=1)                 # (B, 27)
         bb = strong_bounds(data, xf, yf, allp, max_extent, union=True,
                            valid=allv)
         return ci + 1, (bb.origin, jnp.all(bb.fits))

@@ -367,10 +367,13 @@ def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
         r_costs = jnp.moveaxis(r_costs, 0, 1)                  # (B, 5)
         r_planes = jnp.moveaxis(r_planes, 0, 1)                # (B, 5, 4)
     else:
-        # banded variant: the current-depth-anchored slots (1, 3, 4) ride
-        # the band; the full-range random-depth slots (0, 2) keep the plain
-        # full-table gather. Costs and slot order are bitwise those of the
-        # single-scan path (the banded NCC is bitwise-equal when fits).
+        # banded variant: the anchored slots (3: perturbed normal at the
+        # current depth, 4: current normal at ±2% depth) ride the band; the
+        # full-range random-depth slots (0, 2) AND the random-normal slot
+        # (1) keep the plain full-table gather (a random unit normal is
+        # near-degenerate for some pixel in any chunk-sized batch — 0% fit
+        # measured with slot 1 in the union). Costs and slot order are
+        # bitwise those of the single-scan path.
         def refine_one(i, origins):
             plane_i = geo.make_plane(cam, xf, yf, r_depths[:, i],
                                      r_normals[:, i])
@@ -380,20 +383,20 @@ def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
             return jnp.where(ok, ci, jnp.inf), plane_i
 
         def banded_scan(i, _):
-            slot = jnp.asarray([1, 3, 4], jnp.int32)[i]
+            slot = jnp.asarray([3, 4], jnp.int32)[i]
             out = refine_one(slot, view_origins)
             return i + 1, out
 
         def plain_scan(i, _):
-            slot = jnp.asarray([0, 2], jnp.int32)[i]
+            slot = jnp.asarray([0, 1, 2], jnp.int32)[i]
             out = refine_one(slot, None)
             return i + 1, out
 
-        _, (cb_, pb_) = jax.lax.scan(banded_scan, 0, None, length=3)
-        _, (cp_, pp_) = jax.lax.scan(plain_scan, 0, None, length=2)
+        _, (cb_, pb_) = jax.lax.scan(banded_scan, 0, None, length=2)
+        _, (cp_, pp_) = jax.lax.scan(plain_scan, 0, None, length=3)
         # reassemble in slot order 0..4
-        r_costs = jnp.stack([cp_[0], cb_[0], cp_[1], cb_[1], cb_[2]], axis=1)
-        r_planes = jnp.stack([pp_[0], pb_[0], pp_[1], pb_[1], pb_[2]], axis=1)
+        r_costs = jnp.stack([cp_[0], cp_[1], cp_[2], cb_[0], cb_[1]], axis=1)
+        r_planes = jnp.stack([pp_[0], pp_[1], pp_[2], pb_[0], pb_[1]], axis=1)
     r_best = jnp.argmin(r_costs, -1)
     r_cost = jnp.take_along_axis(r_costs, r_best[:, None], 1)[:, 0]
     r_plane = jnp.take_along_axis(

@@ -354,3 +354,45 @@ def banded_view_tables(data: CostData, origins) -> CostData:
         src_quads=jax.vmap(slice_one)(data.src_quads,
                                       jnp.broadcast_to(
                                           origins, (data.num_src,))))
+
+
+def strong_chunk_bounds(data: CostData, state, kr, x, y,
+                        depth_min, depth_max, max_extent: int,
+                        row_bounds=None) -> BandBounds:
+    """Single-chunk variant of strong_sweep_bounds (origin (S,), fits
+    scalar): the host drivers dispatch one small pre-pass program per chunk
+    — a one-program-per-sweep scan over all chunks wedged the remote TPU
+    worker mid-pass twice (reproducibly cleared by the bands-off control;
+    per-chunk programs are structurally identical to the chunk bodies that
+    have run for hours without incident). `kr` is the chunk's already-folded
+    refinement key."""
+    from .propagation import checkerboard_candidates, refinement_from_raws, \
+        refinement_raws
+    from ..core.sampling import fetch
+    cam = data.ref_cam
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    cand_x, cand_y, flags = checkerboard_candidates(state.costs, x, y,
+                                                    row_bounds)
+    cand_planes = fetch(state.planes, cand_x, cand_y)
+    cur_plane = fetch(state.planes, x, y)
+    base = jnp.concatenate([cand_planes, cur_plane[:, None]], axis=1)
+    tr = jnp.ones_like(flags[:, :1])
+    base_valid = jnp.concatenate([flags, tr], axis=1)
+    raws = refinement_raws(kr, x.shape)
+    variants = [base]
+    valids = [base_valid]
+    for wi in range(9):
+        pw = base[:, wi]
+        dw = geo.depth_from_plane(cam, pw, xf, yf)
+        d5, n5 = refinement_from_raws(raws, cam, xf, yf, pw, dw,
+                                      depth_min, depth_max)
+        variants.append(jnp.stack(
+            [geo.make_plane(cam, xf, yf, d5[:, i], n5[:, i])
+             for i in (3, 4)], axis=1))
+        valids.append(jnp.repeat(base_valid[:, wi:wi + 1], 2, axis=1))
+    allp = jnp.concatenate(variants, axis=1)               # (B, 27, 4)
+    allv = jnp.concatenate(valids, axis=1)                 # (B, 27)
+    bb = strong_bounds(data, xf, yf, allp, max_extent, union=True,
+                       valid=allv)
+    return BandBounds(origin=bb.origin, fits=jnp.all(bb.fits))

@@ -514,9 +514,12 @@ def _strong_chunk_banded_jit(cfg: PropCfg):
 
 @_functools.lru_cache(maxsize=32)
 def _strong_prepass_jit(cfg: PropCfg, max_extent: int):
-    def f(data, state, k_ref, xs, ys, depth_min, depth_max):
-        from .bands import strong_sweep_bounds
-        return strong_sweep_bounds(data, state, k_ref, xs, ys,
+    """ONE chunk's band bounds per program (a one-program-per-sweep scan
+    over all chunks wedged the remote worker mid-pass; see
+    bands.strong_chunk_bounds)."""
+    def f(data, state, kr, x, y, depth_min, depth_max):
+        from .bands import strong_chunk_bounds
+        return strong_chunk_bounds(data, state, kr, x, y,
                                    depth_min, depth_max, max_extent)
     return jax.jit(f)
 
@@ -590,12 +593,15 @@ def propagate_strong_host(data: CostData, state: PMState, cfg: PropCfg,
         from .bands import sweep_extent
         prepass = _strong_prepass_jit(
             cfg, sweep_extent(cfg.strong_radius, cfg.use_sa))
-        bb = prepass(data, state, k_ref,
-                     jnp.asarray(xp.reshape(nc, chunk)),
-                     jnp.asarray(yp.reshape(nc, chunk)),
-                     depth_min, depth_max)
-        fits_np = np.asarray(bb.fits)              # one sync per sweep
-        origins = bb.origin
+        bbs = []
+        for ci in range(nc):
+            sl = slice(ci * chunk, (ci + 1) * chunk)
+            bbs.append(prepass(data, state, jax.random.fold_in(k_ref, ci),
+                               jnp.asarray(xp[sl]), jnp.asarray(yp[sl]),
+                               depth_min, depth_max))
+            _throttle(bbs)
+        fits_np = np.asarray(jnp.stack([b.fits for b in bbs]))
+        origins = jnp.stack([b.origin for b in bbs])
         banded_body = _strong_chunk_banded_jit(cfg)
         BAND_DISPATCH_STATS["strong"][0] += int(fits_np.sum())
         BAND_DISPATCH_STATS["strong"][1] += int(nc - fits_np.sum())

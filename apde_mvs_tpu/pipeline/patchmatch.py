@@ -319,11 +319,15 @@ def _jit_init_chunk(num_src, cfg: StaticCfg, banded: bool = False):
 
 @functools.lru_cache(maxsize=64)
 def _jit_init_prepass(num_src, cfg: StaticCfg):
+    """ONE chunk's bounds per program (scanning programs wedged the remote
+    worker; see bands.strong_chunk_bounds)."""
     from ..ops import bands
     ext = bands.sweep_extent(cfg.prop.strong_radius, cfg.prop.use_sa)
 
-    def f(data, xs, ys, planes):
-        return bands.plane_chunk_bounds(data, xs, ys, planes, ext)
+    def f(data, x, y, planes_c):
+        bb = bands.strong_bounds(data, x, y, planes_c[:, None, :], ext,
+                                 union=True)
+        return bb.origin, jnp.all(bb.fits)
     return jax.jit(f)
 
 
@@ -419,12 +423,15 @@ def _init_host(data, state, key, cfg: StaticCfg, nw_cap, first_init,
     from ..ops.propagation import BAND_DISPATCH_STATS
     fits_np = None
     if static_bands_enabled(data.src_quads) and not first_init:
-        bb = _jit_init_prepass(S, cfg)(
-            data, jnp.asarray(xf.reshape(nc, chunk)),
-            jnp.asarray(yf.reshape(nc, chunk)),
-            planes_flat.reshape(nc, chunk, 4))
-        fits_np = np.asarray(bb.fits)
-        origins = bb.origin
+        prepass = _jit_init_prepass(S, cfg)
+        bbs = []
+        for ci in range(nc):
+            sl = slice(ci * chunk, (ci + 1) * chunk)
+            bbs.append(prepass(data, jnp.asarray(xf[sl]),
+                               jnp.asarray(yf[sl]), planes_flat[sl]))
+            _throttle(bbs)
+        fits_np = np.asarray(jnp.stack([b[1] for b in bbs]))
+        origins = jnp.stack([b[0] for b in bbs])
         banded_body = _jit_init_chunk(S, cfg, banded=True)
         BAND_DISPATCH_STATS["init"][0] += int(fits_np.sum())
         BAND_DISPATCH_STATS["init"][1] += int(nc - fits_np.sum())

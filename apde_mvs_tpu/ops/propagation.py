@@ -480,7 +480,10 @@ import functools as _functools
 BAND_DISPATCH_STATS = {"strong": [0, 0], "init": [0, 0], "view_major": [0, 0]}
 
 
-def _throttle(outs, window: int = 2):
+_QUEUE_WINDOW = int(os.environ.get("APDE_QUEUE_WINDOW", "2"))
+
+
+def _throttle(outs, window: int = None):
     """Bound the device execution queue during host-dispatched chunk loops.
 
     Dispatch is async and XLA allocates each queued program's outputs and
@@ -488,7 +491,11 @@ def _throttle(outs, window: int = 2):
     worth of ~GB workspaces at once (observed RESOURCE_EXHAUSTED at 6 MP).
     A tiny HOST READBACK of a finished chunk is the only reliable sync
     through the remote tunnel (block_until_ready can return early —
-    CLAUDE.md), so sync chunk i-window before dispatching chunk i+1."""
+    CLAUDE.md), so sync chunk i-window before dispatching chunk i+1.
+    APDE_QUEUE_WINDOW overrides the default depth of 2 (1 = fully serial:
+    the mid-pass worker-wedge investigation, PERF_NOTES r3)."""
+    if window is None:
+        window = _QUEUE_WINDOW
     if len(outs) >= window:
         np.asarray(jax.tree_util.tree_leaves(outs[-window])[0].reshape(-1)[:1])
 

@@ -276,8 +276,14 @@ def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
 
     _, cost_array = jax.lax.scan(cand_cost, 0, None, length=8)
     cost_array = jnp.moveaxis(cost_array, 0, 1)                # (B, 8, S)
-    # invalid regions keep ~zero rows (C aggregate-init quirk, see module doc)
+    # invalid regions keep ~zero rows (C aggregate-init quirk, see module
+    # doc) EXCEPT element [0][0]: `float cost_array[8][32] = {2.0f}`
+    # (APD.cu:1120) leaves 2.0 in the very first slot, so an invalid region
+    # 0 contributes cost 2.0 to view 0 — it counts toward that view's
+    # count_false (2.0 > 1.2) and adds vw[0]*2.0 to final_costs[0]
     cost_array = jnp.where(flags[..., None], cost_array, 0.0)
+    cost_array = cost_array.at[:, 0, 0].set(
+        jnp.where(flags[:, 0], cost_array[:, 0, 0], 2.0))
 
     # view selection
     nb_x = jnp.stack([x, x, x - 1, x + 1], -1)
@@ -734,6 +740,12 @@ def _weak_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
     _, all_costs = jax.lax.scan(cand_cost, 0, None, length=10)
     all_costs = jnp.moveaxis(all_costs, 0, 1)                 # (Nw, 10, S)
     cost_array = jnp.where(flags[..., None], all_costs[:, :8], 0.0)
+    # C aggregate-init quirk (APD.cu:1464): a missing/non-strong anchor 0
+    # leaves cost_array[0][0] = 2.0 (see the strong body for the rationale);
+    # anchor slots go missing far more often than image borders, so this
+    # reference behavior matters for weak view selection
+    cost_array = cost_array.at[:, 0, 0].set(
+        jnp.where(flags[:, 0], cost_array[:, 0, 0], 2.0))
 
     # priors from all existing anchors (reference gates only on -1 here)
     nb_sel = wref.anchor_sel
@@ -836,7 +848,10 @@ def _weak_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
     r_cost = jnp.take_along_axis(r_costs, r_best[:, None], 1)[:, 0]
     r_plane = jnp.take_along_axis(
         r_planes, r_best[:, None, None].repeat(4, -1), 1)[:, 0]
-    take_ref = r_cost < cost_cur
+    # PlaneHypothesisRefinementWeak returns EARLY when the fit plane is all
+    # zeros (APD.cu:1029-1032) — a weak pixel without a RANSAC fit gets
+    # neither the fit test NOR random refinement in the reference
+    take_ref = (r_cost < cost_cur) & fit_ok
     plane_cur = jnp.where(take_ref[:, None], r_plane, plane_cur)
     cost_cur = jnp.where(take_ref, r_cost, cost_cur)
 

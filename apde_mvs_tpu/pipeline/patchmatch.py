@@ -235,6 +235,75 @@ def _gather_rate(h: int, w: int, u8: bool = True) -> float:
 _PROGRAM_BUDGET_S = 35.0
 
 
+# gather-rate drift probe: one measurement per (table shape, dtype) per
+# process; results kept for tests / logging
+_BUDGET_PROBES = {}
+
+
+def _verify_gather_budget(data) -> None:
+    """Measure the actual row-gather rate of THIS run's table and warn
+    loudly when it deviates >25% from the `_gather_rate` constant that all
+    chunk budgeting rests on (drift detection: an XLA/driver change that
+    shifts the measured 380/170 M rows/s silently invalidates the chunk
+    caps and risks the remote worker's ~80 s program kill).
+
+    Methodology per PERF_NOTES/CLAUDE.md: marginal rate across two index
+    counts (subtracts dispatch overhead), fresh random indices per call,
+    host readback inside the timed region.  ~2 s once per process per
+    table configuration; runs only on real accelerators (the constants are
+    TPU rates)."""
+    key = (tuple(data.src_quads.shape), str(data.src_quads.dtype))
+    if key in _BUDGET_PROBES:
+        return
+    if jax.devices()[0].platform == "cpu":
+        return
+    import logging
+    import time
+
+    from ..core.sampling import take_rows
+
+    table = data.src_quads[0]
+    n_rows = int(table.shape[0])
+    u8 = table.dtype == jnp.uint8
+    expected = _gather_rate(n_rows, 1, u8)
+
+    @jax.jit
+    def g(tab, idx):
+        return take_rows(tab, idx).astype(jnp.float32).sum()
+
+    rng = np.random.RandomState(0)
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(3):
+            idx = jnp.asarray(rng.randint(0, n_rows, n, dtype=np.int64)
+                              .astype(np.int32))
+            t0 = time.perf_counter()
+            out = g(table, idx)
+            float(np.asarray(out))          # readback forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 16 << 20, 48 << 20
+    timed(n1)                               # compile both shapes first
+    timed(n2)
+    dt = timed(n2) - timed(n1)
+    measured = (n2 - n1) / max(dt, 1e-9)
+    _BUDGET_PROBES[key] = measured
+    ratio = measured / expected
+    msg = (f"gather budget probe: table {n_rows} rows "
+           f"{'u8' if u8 else 'f32'}: measured {measured / 1e6:.0f} M "
+           f"rows/s vs budgeted {expected / 1e6:.0f} (ratio {ratio:.2f})")
+    if not 0.75 <= ratio <= 1.33:
+        logging.warning(
+            "BUDGET DRIFT: %s — the _gather_rate constants in "
+            "pipeline/patchmatch.py no longer match this stack; chunk "
+            "sizing may overrun the remote worker's program budget "
+            "(re-measure with benchmarks/gather_vmem_probe.py)", msg)
+    else:
+        logging.info(msg)
+
+
 def _iterations_host_mode(shape, num_src: int, max_iterations: int,
                           u8: bool = True) -> bool:
     """True when the fused iterations program would exceed the remote
@@ -864,6 +933,7 @@ def run_patchmatch(
         # large images: one device program per chunk (the fused program
         # would exceed the remote worker's execution budget; see the
         # host-dispatch section above)
+        _verify_gather_budget(data)
         from ..core.sampling import static_bands_enabled as _sbe
         chunk_s, _ = _host_chunks(
             S, banded=(not first_init) and _sbe(data.src_quads))

@@ -359,7 +359,12 @@ def run_scan(dense_folder, dataset: str = "General", *,
                                   sampler_u8=sampler_u8)
     if views_parallel is None:
         import jax
-        views_parallel = len(jax.devices()) > 1
+        # LOCAL devices: under multi-host scan partitioning
+        # (parallel.distributed) each process drives its own scans on its
+        # own chips; global arrays would not be host-readable here. An
+        # explicit cross-host mesh (parallel.mesh/scene) remains the
+        # opt-in route for sharding ONE scan across hosts.
+        views_parallel = len(jax.local_devices()) > 1
     runner = None
     if views_parallel:
         from .scan_parallel import ViewParallelRunner
@@ -386,7 +391,7 @@ def run_scan(dense_folder, dataset: str = "General", *,
             n_src = max(len(p.src_image_ids) for p in problems)
             per_view = spmd_stage_seconds(eff, n_src, spec.params)
             import jax as _jax
-            n_dev = len(_jax.devices())
+            n_dev = len(_jax.local_devices())
             # tile route (parallel.tile_pass): one view's pass row-sharded
             # over ALL chips — engaged when views would leave chips idle
             # (V < devices) or a single view busts the worker budget. Only

@@ -171,7 +171,7 @@ class ViewParallelRunner:
 
     def _n_devices(self) -> int:
         import jax
-        return len(jax.devices()) if self.mesh is None \
+        return len(jax.local_devices()) if self.mesh is None \
             else self.mesh.devices.size
 
     def _batches(self, cap: Optional[int] = None) -> List[List[Problem]]:
@@ -225,7 +225,7 @@ class ViewParallelRunner:
         geom_or_apd = params.geom_consistency or params.use_apd
         use_apd = params.use_apd and params.state != "first_init"
         first_init = params.state == "first_init"
-        devices = jax.devices() if self.mesh is None \
+        devices = jax.local_devices() if self.mesh is None \
             else list(self.mesh.devices.reshape(-1))
         n = len(devices)
         mesh = Mesh(np.asarray(devices), ("tiles",))

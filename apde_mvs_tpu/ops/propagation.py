@@ -487,9 +487,13 @@ BAND_DISPATCH_STATS = {"strong": [0, 0], "init": [0, 0], "view_major": [0, 0]}
 
 
 _QUEUE_WINDOW = int(os.environ.get("APDE_QUEUE_WINDOW", "2"))
+_DISPATCH_LOG = os.environ.get("APDE_DISPATCH_LOG") == "1"
+# a single chunk program should finish in ~15 s; a sync that takes minutes
+# means the worker wedged — always warn so production logs localize it
+_STALL_WARN_S = float(os.environ.get("APDE_STALL_WARN_S", "120"))
 
 
-def _throttle(outs, window: int = None):
+def _throttle(outs, window: int = None, site: str = "?"):
     """Bound the device execution queue during host-dispatched chunk loops.
 
     Dispatch is async and XLA allocates each queued program's outputs and
@@ -499,11 +503,27 @@ def _throttle(outs, window: int = None):
     through the remote tunnel (block_until_ready can return early —
     CLAUDE.md), so sync chunk i-window before dispatching chunk i+1.
     APDE_QUEUE_WINDOW overrides the default depth of 2 (1 = fully serial:
-    the mid-pass worker-wedge investigation, PERF_NOTES r3)."""
+    the mid-pass worker-wedge investigation, PERF_NOTES r3).
+
+    Diagnostics: APDE_DISPATCH_LOG=1 prints one timestamped line per sync
+    (site label + chunk index); independently, any single sync exceeding
+    APDE_STALL_WARN_S (default 120 s) prints a loud WEDGE warning so a hung
+    run localizes itself to a site and chunk in the log."""
+    import time as _t
     if window is None:
         window = _QUEUE_WINDOW
     if len(outs) >= window:
+        t0 = _t.perf_counter()
         np.asarray(jax.tree_util.tree_leaves(outs[-window])[0].reshape(-1)[:1])
+        dt = _t.perf_counter() - t0
+        if _DISPATCH_LOG:
+            print(f"[dispatch {_t.strftime('%H:%M:%S')}] {site} "
+                  f"chunk {len(outs) - window} synced in {dt:.1f}s",
+                  flush=True)
+        if dt > _STALL_WARN_S:
+            print(f"WEDGE WARNING: {site} chunk {len(outs) - window} sync "
+                  f"took {dt:.0f}s (> {_STALL_WARN_S:.0f}s) — remote worker "
+                  f"stall suspected", flush=True)
 
 
 @_functools.lru_cache(maxsize=32)
@@ -612,7 +632,7 @@ def propagate_strong_host(data: CostData, state: PMState, cfg: PropCfg,
             bbs.append(prepass(data, state, jax.random.fold_in(k_ref, ci),
                                jnp.asarray(xp[sl]), jnp.asarray(yp[sl]),
                                depth_min, depth_max))
-            _throttle(bbs)
+            _throttle(bbs, site="strong-prepass")
         fits_np = np.asarray(jnp.stack([b.fits for b in bbs]))
         origins = jnp.stack([b.origin for b in bbs])
         banded_body = _strong_chunk_banded_jit(cfg)
@@ -631,7 +651,7 @@ def propagate_strong_host(data: CostData, state: PMState, cfg: PropCfg,
                                     depth_max, geom_factor))
         else:
             outs.append(body(*args, depth_min, depth_max, geom_factor))
-        _throttle(outs)
+        _throttle(outs, site="strong-sweep")
     cat = [jnp.concatenate([o[i] for o in outs], axis=0) for i in range(4)]
     return _strong_commit_jit(cfg)(state, color, *cat)
 
@@ -699,7 +719,7 @@ def propagate_weak_host(data: CostData, state: PMState, cfg: PropCfg,
                          jax.random.fold_in(k_ref, ci),
                          xp[sl], yp[sl], ap[sl], fp[sl],
                          depth_min, depth_max, geom_factor))
-        _throttle(outs)
+        _throttle(outs, site="weak-sweep")
     cat = [jnp.concatenate([o[i] for o in outs], axis=0) for i in range(4)]
     return _weak_commit_jit()(state, weak_x, weak_y, weak_valid, *cat)
 

@@ -498,7 +498,7 @@ def _init_host(data, state, key, cfg: StaticCfg, nw_cap, first_init,
             sl = slice(ci * chunk, (ci + 1) * chunk)
             bbs.append(prepass(data, jnp.asarray(xf[sl]),
                                jnp.asarray(yf[sl]), planes_flat[sl]))
-            _throttle(bbs)
+            _throttle(bbs, site="init-prepass")
         fits_np = np.asarray(jnp.stack([b[1] for b in bbs]))
         origins = jnp.stack([b[0] for b in bbs])
         banded_body = _jit_init_chunk(S, cfg, banded=True)
@@ -515,7 +515,7 @@ def _init_host(data, state, key, cfg: StaticCfg, nw_cap, first_init,
         else:
             outs.append(body(data, planes_flat[sl], jnp.asarray(xf[sl]),
                              jnp.asarray(yf[sl])))
-        _throttle(outs)
+        _throttle(outs, site="init-cost")
     costs = jnp.concatenate(outs, axis=0)[:n]
 
     use_apd = cfg.use_apd and nw_cap > 0
@@ -528,7 +528,7 @@ def _init_host(data, state, key, cfg: StaticCfg, nw_cap, first_init,
             sl = slice(ci * wchunk, (ci + 1) * wchunk)
             wouts.append(rescore(data, state, weak_x[sl], weak_y[sl],
                                  anchors[sl]))
-            _throttle(wouts)
+            _throttle(wouts, site="apd-rescore")
         wcosts = jnp.concatenate(wouts, axis=0)[:nw_cap]
     return _jit_init_commit(shape, S, cfg, use_apd)(
         data, state, costs, wcosts, weak_x, weak_y, weak_valid)
@@ -776,7 +776,7 @@ def _view_major_run(data, state, mask, sel_np, cfg: StaticCfg, ncols: int,
         sl = slice(ci * chunk, (ci + 1) * chunk)
         outs.append(finish(jnp.asarray(x_all[sl]), jnp.asarray(y_all[sl]),
                            acc[sl]))
-        _throttle(outs)
+        _throttle(outs, site="view-major")
     return (cyy, cxx), outs
 
 
@@ -905,7 +905,7 @@ def run_patchmatch(
                         jax.random.fold_in(k_anchor, ci), data, state,
                         weak_x[sl], weak_y[sl], weak_valid[sl], ns,
                         jnp.float32(params.ransac_threshold), dmin, dmax))
-                    _throttle(parts)
+                    _throttle(parts, site="apd-setup")
                 anchors = jnp.concatenate([p[0] for p in parts], axis=0)
                 rel = jnp.concatenate([p[1] for p in parts], axis=0)
                 state = _jit_neighbor_update(shape)(
@@ -988,7 +988,7 @@ def run_patchmatch(
         for s in range(len(cx_p) // chunk):
             outs.append(fn(jnp.asarray(cx_p[s * chunk:(s + 1) * chunk]),
                            jnp.asarray(cy_p[s * chunk:(s + 1) * chunk])))
-            _throttle(outs)
+            _throttle(outs, site="viewmajor-chunk")
         return (cyy, cxx), outs
 
     # curve export is a debug mode: sweep everything so the exported curve

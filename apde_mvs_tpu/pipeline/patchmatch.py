@@ -535,15 +535,27 @@ def _init_host(data, state, key, cfg: StaticCfg, nw_cap, first_init,
 
 
 def _host_sync(tag, state):
-    """Env-gated hard sync (APDE_HOST_SYNC=1) between host-driver stages: a
-    1-element readback is the only reliable completion barrier through the
-    remote tunnel, and it pins async device failures to the stage that
-    raised them."""
+    """Completion barrier between host-driver stages: a 1-element readback
+    is the only reliable completion barrier through the remote tunnel.
+
+    ALWAYS ON in the host-mode drivers (round-4 wedge root-cause): the
+    sweep commits donate the state buffers, and letting the host race
+    ahead — enqueueing the next sweep's pre-pass/body burst while a
+    donated commit is still queued — reproducibly wedges the remote
+    worker mid-pass (r3's two wedges, r4's two: all at sweep boundaries,
+    all cleared by this barrier — benchmarks/fullres_stress.py runs,
+    PERF_NOTES round 4). One tunnel round-trip (~25 ms) per sweep is
+    noise next to a multi-second sweep; it also pins async device
+    failures to the stage that raised them. APDE_HOST_SYNC=0 disables
+    (wedge experiments only); APDE_HOST_SYNC=1 adds the timing print."""
     import os as _os
-    if _os.environ.get("APDE_HOST_SYNC") == "1":
-        import time as _time
-        t0 = _time.time()
-        np.asarray(state.costs.reshape(-1)[:1])
+    mode = _os.environ.get("APDE_HOST_SYNC", "")
+    if mode == "0":
+        return
+    import time as _time
+    t0 = _time.time()
+    np.asarray(state.costs.reshape(-1)[:1])
+    if mode == "1":
         print(f"  [host_sync] {tag}: {_time.time() - t0:.1f} s", flush=True)
 
 

@@ -216,10 +216,106 @@ def run_fusion(dense_folder, problems, name: str, params: FusionParams,
                        colors if export_color else None)
     if consumption is not None:
         h, w = views[0].depth.shape
-        np.savez(str(ply_path) + ".consume.npz", hw=np.int64(h * w),
-                 **consumption)
+        _write_consumption(ply_path, consumption, h * w)
     print(f"Fusion: {len(coords)} points -> {ply_path}", flush=True)
     return ply_path
+
+
+def _write_consumption(ply_path, consumption, hw: int) -> None:
+    """Persist a shard's consumption sidecar as raw mmap-able .npy files in
+    `<ply>.consume/`, at the smallest sufficient integer width.
+
+    The round-4 150-view x 6 MP stress run measured the old compressed-npz
+    int64 format at 13 GB PER SHARD and OOM-killed the merge at 122 GB RSS
+    (the merge decompressed every shard's K≈800M-entry arrays at once).
+    Raw uint32 .npy halves the bytes and — the real point — lets the merge
+    stream per-view slices via np.load(mmap_mode="r") instead of
+    materializing everything."""
+    import json as _json
+
+    d = Path(str(ply_path) + ".consume")
+    d.mkdir(parents=True, exist_ok=True)
+    gid_max = max(int(consumption["origin"].max(initial=0)),
+                  int(consumption["cons_gid"].max(initial=0)))
+    gid_dt = np.uint32 if gid_max < 2 ** 32 else np.int64
+    pt_max = int(consumption["cons_pt"].max(initial=0))
+    pt_dt = np.uint32 if pt_max < 2 ** 32 else np.int64
+    np.save(d / "origin.npy", consumption["origin"].astype(gid_dt))
+    np.save(d / "cons_pt.npy", consumption["cons_pt"].astype(pt_dt))
+    np.save(d / "cons_gid.npy", consumption["cons_gid"].astype(gid_dt))
+    (d / "meta.json").write_text(_json.dumps({"hw": int(hw)}))
+
+
+def _owner_wins_replay(sides, hw: int, chunk: int = 1 << 24):
+    """Memory-lean exact equivalent of `owner_wins_filter` over mmap-ed
+    shard sidecars: one ascending pass over ref views with a consumed
+    bitmap.
+
+    The fixpoint semantics — a point is dropped iff a KEPT point of an
+    EARLIER ref view consumed its origin pixel — have no cyclic
+    dependencies (blockers only come from earlier views), so a single
+    replay in view order computes the fixpoint exactly: decide all of view
+    v's keeps against the bitmap, then mark the kept points' consumption.
+    Memory: one bool per (view, pixel) gid (~1 GB at 150 views x 6 MP)
+    plus one view's entry slices; per-shard arrays stay on disk.
+
+    sides: list of dicts with mmap-ed "origin"/"cons_pt"/"cons_gid".
+    Returns per-shard keep masks.
+    """
+    n_views = 0
+    for s in sides:
+        if len(s["origin"]):
+            n_views = max(n_views, int(s["origin"][-1]) // hw + 1)
+        if len(s["cons_gid"]):
+            # consumed gids can exceed any origin (source views past the
+            # last ref view); scan chunked for the max
+            m = 0
+            cg = s["cons_gid"]
+            for i in range(0, len(cg), chunk):
+                m = max(m, int(cg[i:i + chunk].max()))
+            n_views = max(n_views, m // hw + 1)
+    bitmap = np.zeros(n_views * hw, bool)
+    kept = [np.ones(len(s["origin"]), bool) for s in sides]
+
+    # per shard: point ranges per view (origin is ascending — points are
+    # appended ref-view ascending, raster order within a view), and entry
+    # ranges per view (entries are view-grouped by construction; one
+    # chunked pass counts entries per view)
+    pstarts = []
+    eranges = []
+    for s in sides:
+        origin = s["origin"]
+        ps = np.searchsorted(origin, np.arange(n_views + 1,
+                                               dtype=np.int64) * hw)
+        pstarts.append(ps)
+        counts = np.zeros(n_views, np.int64)
+        cp = s["cons_pt"]
+        prev_v = -1
+        for i in range(0, len(cp), chunk):
+            c = cp[i:i + chunk]
+            ev = np.searchsorted(ps, c, side="right") - 1
+            counts += np.bincount(ev, minlength=n_views)
+            # grouping sanity: entry views never go backwards across chunks
+            if len(ev):
+                assert prev_v <= int(ev[0]), "consumption not view-grouped"
+                prev_v = int(ev[-1])
+        eranges.append(np.concatenate([[0], np.cumsum(counts)]))
+
+    for v in range(n_views):
+        # decide view v's points everywhere before marking any consumption
+        for si, s in enumerate(sides):
+            p0, p1 = int(pstarts[si][v]), int(pstarts[si][v + 1])
+            if p1 > p0:
+                kept[si][p0:p1] = ~bitmap[np.asarray(s["origin"][p0:p1],
+                                                     np.int64)]
+        for si, s in enumerate(sides):
+            e0, e1 = int(eranges[si][v]), int(eranges[si][v + 1])
+            for i in range(e0, e1, chunk):
+                j = min(i + chunk, e1)
+                cp = np.asarray(s["cons_pt"][i:j], np.int64)
+                m = kept[si][cp]
+                bitmap[np.asarray(s["cons_gid"][i:j], np.int64)[m]] = True
+    return kept
 
 
 def owner_wins_filter(origin, cons_pt, cons_gid, hw):
@@ -267,19 +363,29 @@ def merge_fusion_shards(dense_folder, name: str, num_shards: int,
     owner-wins filter so the merged cloud reproduces the reference's
     cross-view source-pixel consumption instead of concatenating the
     shards' duplicated points."""
+    import json as _json
+
     import numpy as np
 
     from ..io.ply import read_ply
 
-    coords, colors, sides = [], [], []
+    coords, colors, sides, hw = [], [], [], None
     for i in range(num_shards):
         part = Path(dense_folder) / "APD" / f"{name}.part{i}of{num_shards}"
         c, col = read_ply(part)
         coords.append(c)
         if col is not None:
             colors.append(col)
-        side = Path(str(part) + ".consume.npz")
-        sides.append(np.load(side) if side.exists() else None)
+        d = Path(str(part) + ".consume")
+        if (d / "meta.json").exists():
+            # mmap: the stress-scale sidecars are tens of GB total and the
+            # replay only touches one view's slices at a time
+            sides.append({
+                k: np.load(d / f"{k}.npy", mmap_mode="r")
+                for k in ("origin", "cons_pt", "cons_gid")})
+            hw = int(_json.loads((d / "meta.json").read_text())["hw"])
+        else:
+            sides.append(None)
     part_sizes = [len(c) for c in coords]
     coords = np.concatenate(coords)
     colors = np.concatenate(colors) if colors else None
@@ -291,16 +397,7 @@ def merge_fusion_shards(dense_folder, name: str, num_shards: int,
               "incomplete for the current part PLYs — merging without the "
               "owner-wins filter", flush=True)
     if sides_ok and len(coords):
-        origin, cons_pt, cons_gid = [], [], []
-        offset = 0
-        for i, s in enumerate(sides):
-            origin.append(s["origin"])
-            cons_pt.append(s["cons_pt"] + offset)
-            cons_gid.append(s["cons_gid"])
-            offset += len(s["origin"])
-        kept = owner_wins_filter(
-            np.concatenate(origin), np.concatenate(cons_pt),
-            np.concatenate(cons_gid), int(sides[0]["hw"]))
+        kept = np.concatenate(_owner_wins_replay(sides, hw))
         dropped = int((~kept).sum())
         coords = coords[kept]
         if colors is not None:

@@ -118,10 +118,9 @@ def test_merge_skips_stale_consume_sidecars(scene_on_disk):
         fusion.run_fusion(root, problems, "stale.ply", params,
                           export_color=True, shard=(i, 2))
     # corrupt one sidecar so its origin count mismatches the part PLY
-    side = root / "APD" / "stale.ply.part0of2.consume.npz"
-    s = dict(np.load(side))
-    s["origin"] = s["origin"][: max(1, len(s["origin"]) // 2)]
-    np.savez(side, **s)
+    side = root / "APD" / "stale.ply.part0of2.consume"
+    orig = np.load(side / "origin.npy")
+    np.save(side / "origin.npy", orig[: max(1, len(orig) // 2)])
     fusion.merge_fusion_shards(root, "stale.ply", 2)   # must not raise
     from apde_mvs_tpu.io.ply import read_ply
     pts, _ = read_ply(root / "APD" / "stale.ply")

@@ -90,3 +90,70 @@ def test_oracle_consumes_within_view():
     vcopy = copy.deepcopy(views)
     pts, _ = fuse_general_serial(vcopy, problems, params)
     assert len(pts) > 0
+
+
+def test_owner_wins_replay_equals_fixpoint():
+    """The streaming merge (_owner_wins_replay, one ascending-view pass
+    over mmap-able sidecars) must reproduce the in-memory fixpoint filter
+    exactly — on the real sharded consumption of this scene AND on
+    randomized synthetic consumption graphs with multi-view chains."""
+    import numpy as np
+
+    from apde_mvs_tpu.pipeline.fusion import _owner_wins_replay, \
+        owner_wins_filter
+
+    _, views, problems = _gt_views()
+    params = FusionParams()
+    h, w = views[0].depth.shape
+    sides, origin, cons_pt, cons_gid, n_total = [], [], [], [], 0
+    for i in range(2):
+        vcopy = copy.deepcopy(views)
+        _, _, cons = _fuse_general(
+            vcopy, problems, params,
+            ref_indices=[j for j in range(len(problems)) if j % 2 == i],
+            record_consumption=True)
+        sides.append({k: np.asarray(v) for k, v in cons.items()})
+        origin.append(cons["origin"])
+        cons_pt.append(cons["cons_pt"] + n_total)
+        cons_gid.append(cons["cons_gid"])
+        n_total += len(cons["origin"])
+    kept_fix = owner_wins_filter(
+        np.concatenate(origin), np.concatenate(cons_pt),
+        np.concatenate(cons_gid), h * w)
+    kept_replay = np.concatenate(_owner_wins_replay(sides, h * w))
+    np.testing.assert_array_equal(kept_fix, kept_replay)
+
+    # synthetic chains: random view-grouped consumption over a tiny grid,
+    # small replay chunk to exercise the chunked passes
+    rng = np.random.RandomState(0)
+    hw = 16
+    for trial in range(20):
+        n_views = rng.randint(2, 6)
+        sides, origin, cons_pt, cons_gid, n_total = [], [], [], [], 0
+        for s in range(2):
+            o, cp, cg = [], [], []
+            for v in range(s, n_views, 2):
+                npts = rng.randint(0, 5)
+                pix = np.sort(rng.choice(hw, npts, replace=False))
+                base = len(o)
+                o.extend(v * hw + pix)
+                for k in range(npts):
+                    for _ in range(rng.randint(0, 4)):
+                        cp.append(base + k)
+                        cg.append(rng.randint(0, n_views * hw))
+            sides.append({"origin": np.asarray(o, np.int64),
+                          "cons_pt": np.asarray(cp, np.int64),
+                          "cons_gid": np.asarray(cg, np.int64)})
+            origin.append(sides[-1]["origin"])
+            cons_pt.append(sides[-1]["cons_pt"] + n_total)
+            cons_gid.append(sides[-1]["cons_gid"])
+            n_total += len(o)
+        if n_total == 0:
+            continue
+        kept_fix = owner_wins_filter(
+            np.concatenate(origin), np.concatenate(cons_pt),
+            np.concatenate(cons_gid), hw)
+        kept_replay = np.concatenate(
+            _owner_wins_replay(sides, hw, chunk=3))
+        np.testing.assert_array_equal(kept_fix, kept_replay,
+                                      err_msg=f"trial {trial}")

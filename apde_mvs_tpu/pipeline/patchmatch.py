@@ -267,19 +267,20 @@ def _verify_gather_budget(data) -> None:
     u8 = table.dtype == jnp.uint8
     expected = _gather_rate(n_rows, 1, u8)
 
-    @jax.jit
-    def g(tab, idx):
+    # indices are generated ON DEVICE: uploading tens of millions of host
+    # indices through the remote tunnel dominates the timing and reads as
+    # a bogus 20x "drift" (observed: 10 M rows/s on a healthy chip)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def g(tab, key, n):
+        idx = jax.random.randint(key, (n,), 0, n_rows, dtype=jnp.int32)
         return take_rows(tab, idx).astype(jnp.float32).sum()
-
-    rng = np.random.RandomState(0)
 
     def timed(n):
         best = float("inf")
-        for _ in range(3):
-            idx = jnp.asarray(rng.randint(0, n_rows, n, dtype=np.int64)
-                              .astype(np.int32))
+        for rep in range(3):
+            key = jax.random.PRNGKey(n + rep)   # fresh inputs per rep
             t0 = time.perf_counter()
-            out = g(table, idx)
+            out = g(table, key, n)
             float(np.asarray(out))          # readback forces completion
             best = min(best, time.perf_counter() - t0)
         return best

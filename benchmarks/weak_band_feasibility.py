@@ -136,6 +136,8 @@ def main():
     anchors = np.asarray(jnp.concatenate([p[0] for p in parts], 0))[:nw]
     print(json.dumps({"anchor_gen_s": round(time.time() - t0, 1)}),
           flush=True)
+    np.savez_compressed("/root/logs/weak_anchors_3024.npz",
+                        anchors=anchors, wx=wx, wy=wy)
 
     a_y = anchors[:, 1:, 1]                      # (Nw, 8) anchor rows
     exists = (anchors[:, 1:, 0] >= 0) & (a_y >= 0)

@@ -623,3 +623,129 @@ def run_weak_oracle(planes_map, selected_map, weak_map, strong_value,
                 flags=flags, min_cost_idx=min_idx, adopted=adopted,
                 took_fit=took_fit, refine_slot=refine_slot,
                 final_costs=final_costs, cost_recomputed=cost_recomputed)
+
+
+# ---------------------------------------------------------------------------
+# DepthToWeak oracle (reference: APD.cu:2103-2250) — deterministic, so no
+# injected RNG; per-view NCC/geom evaluation is injected like the sweeps'.
+# ---------------------------------------------------------------------------
+
+def run_depth_to_weak_oracle(planes_dn, selected, view_weights, valid,
+                             xs, ys, cam, R_ref, ref_c, src_c, cost_fn,
+                             geom_fn, weak_peak_radius, geom_factor,
+                             depth_min, depth_max, width, height, S,
+                             min_margin=6, radius=30):
+    """Scalar transcription of the DepthToWeak kernel.
+
+    planes_dn (H, W, 4): (WORLD normal, depth) — the post-GetDepthandNormal
+    representation the kernel reads; the oracle applies
+    TransformNormal2RefCam (n_cam = R n_world, APD.cu:415-423) itself.
+    selected (H, W, S) bool; view_weights (H, W, S); valid (H, W) bool.
+    cam: dict fx fy cx cy; R_ref (3, 3); ref_c (3,), src_c (S, 3) camera
+    centers.  cost_fn(xs, ys, planes (B, 4)) -> (B, S) photometric NCC
+    (ComputeBilateralNCCOld); geom_fn same or None.
+
+    Returns dict: weak (B,) int (STRONG/WEAK/UNKNOWN values from config),
+    curve (B, 61) f32, plus diagnostics (min_peak, peak_count).
+    """
+    from ..config import STRONG, UNKNOWN, WEAK
+
+    B = len(xs)
+    n_steps = 2 * radius + 1
+    depth_min = f32(depth_min)
+    depth_max = f32(depth_max)
+    geom_factor = f32(geom_factor)
+
+    weak_out = np.full(B, UNKNOWN, np.int64)
+    curve = np.full((B, n_steps), 2.0, f32)
+    min_peak_out = np.zeros(B, np.int64)
+    peak_count_out = np.zeros(B, np.int64)
+
+    # stage 1: per-pixel setup (margins, baseline, disparity)
+    ok = np.zeros(B, bool)
+    n_cam = np.zeros((B, 3), f32)
+    disp = np.zeros(B, f32)
+    base_line = np.zeros(B, f32)
+    wnorm = np.zeros(B, f32)
+    vw = np.zeros((B, S), f32)
+    for b in range(B):
+        x, y = int(xs[b]), int(ys[b])
+        if x < min_margin or y < min_margin or x >= width - min_margin \
+                or y >= height - min_margin or not valid[y, x]:
+            continue
+        n_w = planes_dn[y, x, :3].astype(f32)
+        depth = f32(planes_dn[y, x, 3])
+        n_cam[b] = (R_ref.astype(f32) @ n_w)
+        if depth == 0:
+            continue
+        bl = f32(0.0)
+        wn = f32(0.0)
+        nsrc = 0
+        for i in range(S):
+            if selected[y, x, i]:
+                wn += f32(view_weights[y, x, i])
+                d = ref_c.astype(f32) - src_c[i].astype(f32)
+                bl += np.sqrt(f32((d * d).sum()))
+                vw[b, i] = view_weights[y, x, i]
+                nsrc += 1
+        if nsrc == 0:
+            continue
+        ok[b] = True
+        base_line[b] = bl / nsrc
+        wnorm[b] = wn
+        disp[b] = f32(cam["fx"]) * base_line[b] / depth
+
+    # stage 2: the 61-step sweep, batched per step through the injected NCC
+    for si, p_disp in enumerate(range(-radius, radius + 1)):
+        p_depth = np.where(disp + p_disp != 0,
+                           f32(cam["fx"]) * base_line / (disp + p_disp),
+                           np.inf).astype(f32)
+        in_range = (p_depth >= depth_min) & (p_depth <= depth_max) & ok
+        planes = np.zeros((B, 4), f32)
+        for b in range(B):
+            if in_range[b]:
+                planes[b] = make_plane(cam, int(xs[b]), int(ys[b]),
+                                       p_depth[b], n_cam[b])
+        cv = cost_fn(xs, ys, planes).astype(f32)
+        if geom_fn is not None:
+            cv = cv + geom_factor * geom_fn(xs, ys, planes).astype(f32)
+        for b in range(B):
+            if not in_range[b]:
+                continue
+            acc = f32(0.0)
+            for i in range(S):
+                acc += vw[b, i] * cv[b, i]
+            curve[b, si] = min(f32(2.0), acc / wnorm[b])
+
+    # stage 3: peak rules (APD.cu:2203-2249)
+    for b in range(B):
+        if not ok[b]:
+            continue
+        pc = curve[b]
+        is_peak = np.zeros(n_steps, bool)
+        peak_count = 0
+        min_peak = 0
+        min_cost = f32(2.0)
+        for i in range(2, n_steps - 2):
+            if pc[i - 1] > pc[i] and pc[i + 1] > pc[i]:
+                is_peak[i] = True
+                peak_count += 1
+                if pc[i] < min_cost:
+                    min_peak = i
+                    min_cost = pc[i]
+        min_peak_out[b] = min_peak
+        peak_count_out[b] = peak_count
+        if abs(min_peak - radius) > weak_peak_radius or pc[min_peak] > 0.5:
+            weak_out[b] = WEAK
+        elif peak_count == 1:
+            weak_out[b] = STRONG if pc[min_peak] <= 0.15 else WEAK
+        else:
+            var = f32(0.0)
+            for i in range(2, n_steps - 2):
+                if is_peak[i] and i != min_peak:
+                    d = pc[i] - min_cost
+                    var += d * d
+            var = np.sqrt(var) / (peak_count - 1)
+            weak_out[b] = STRONG if var > 0.2 else WEAK
+    return dict(weak=weak_out, curve=curve, ok=ok,
+                min_peak=min_peak_out, peak_count=peak_count_out)

@@ -394,3 +394,117 @@ def test_weak_no_fit_pixels_skip_refinement():
     # production must agree on their final planes (checked above) — and the
     # fixture must include such pixels
     assert no_fit.sum() > 3
+
+
+# ---------------------------------------------------------------------------
+# DepthToWeak oracle (deterministic — no RNG injection needed)
+# ---------------------------------------------------------------------------
+
+def _classify_setup(seed=11, geom=False):
+    scene, data, state, dmin, dmax, cam = _setup(seed=seed, geom=geom)
+    rng = np.random.RandomState(seed)
+    # post-GetDepthandNormal representation: (world normal, depth), with
+    # mildly noisy GT so curves have real minima; a few zero-depth pixels
+    # exercise the UNKNOWN guard
+    depth = scene.depths[0] * (1 + rng.randn(H, W).astype(np.float32) * 0.01)
+    # ~30% of pixels get badly-off depths: their cost minimum sits far from
+    # the sweep center (or above 0.5), exercising the WEAK rules
+    off = rng.rand(H, W) < 0.3
+    depth = np.where(off, depth * (1 + rng.choice([-0.08, 0.1], (H, W))
+                                   .astype(np.float32)), depth)
+    depth[rng.rand(H, W) < 0.02] = 0.0
+    n_world = scene.normals[0].astype(np.float32)
+    planes_dn = np.concatenate([n_world, depth[..., None]], -1)
+    sel = rng.rand(H, W, data.num_src) < 0.6
+    vw = (rng.randint(0, 6, (H, W, data.num_src))).astype(np.float32)
+    state = state.replace(
+        planes=jnp.asarray(planes_dn),
+        selected=jnp.asarray(sel),
+        view_weights=jnp.asarray(vw))
+    return scene, data, state, dmin, dmax, cam, planes_dn, sel, vw
+
+
+@pytest.mark.parametrize("geom", [False, True])
+def test_depth_to_weak_matches_oracle(geom):
+    from apde_mvs_tpu.ops import filters
+
+    (scene, data, state, dmin, dmax, cam, planes_dn, sel,
+     vw) = _classify_setup(geom=geom)
+    ys, xs = np.mgrid[0:H, 0:W]
+    xs = xs.reshape(-1).astype(np.int32)
+    ys = ys.reshape(-1).astype(np.int32)
+    gf = 0.2
+    new_weak, curve = jax.jit(
+        lambda d, s: filters.depth_to_weak(
+            d, s, jnp.asarray(xs), jnp.asarray(ys), 2, False, geom,
+            jnp.float32(gf), jnp.float32(dmin), jnp.float32(dmax),
+            return_curve=True))(data, state)
+
+    xf = jnp.asarray(xs, jnp.float32)
+    yf = jnp.asarray(ys, jnp.float32)
+    win = precompute_ref_window(data, xf, yf, 5, 2, False)
+
+    @jax.jit
+    def _ncc(planes):
+        return ncc_strong(data, xf, yf, planes, win)
+
+    @jax.jit
+    def _geom(planes):
+        return geom_cost(data, xf, yf, planes)
+
+    rc = data.ref_cam
+    oracle = prop_oracle.run_depth_to_weak_oracle(
+        planes_dn, sel, vw, np.asarray(state.valid), xs, ys, cam,
+        np.asarray(rc.R), np.asarray(rc.c), np.asarray(data.src_cams.c),
+        lambda _x, _y, p: np.asarray(_ncc(jnp.asarray(p, jnp.float32))),
+        (lambda _x, _y, p: np.asarray(_geom(jnp.asarray(p, jnp.float32))))
+        if geom else None,
+        2, gf, dmin, dmax, W, H, data.num_src)
+
+    got_weak = np.asarray(new_weak)
+    # curves compare only where the setup is usable (production leaves
+    # garbage curves on UNKNOWN pixels; the classification masks them)
+    ok = oracle["ok"]
+    np.testing.assert_allclose(np.asarray(curve)[ok], oracle["curve"][ok],
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_array_equal(got_weak, oracle["weak"])
+    # fixture must exercise all three classes and the peak rules
+    from apde_mvs_tpu.config import STRONG, UNKNOWN, WEAK
+    assert (got_weak == STRONG).sum() > 20
+    assert (got_weak == WEAK).sum() > 20
+    assert (got_weak == UNKNOWN).sum() > 20
+    assert (oracle["peak_count"][ok] > 1).sum() > 10
+
+
+def test_depth_to_weak_oracle_detects_threshold_perturbations():
+    """Perturbing the 0.5 / 0.15 / 0.2 classification constants in the
+    oracle must break agreement (proving the test catches the same
+    transcription error in ops/filters.py)."""
+    from apde_mvs_tpu.ops import filters
+
+    (scene, data, state, dmin, dmax, cam, planes_dn, sel,
+     vw) = _classify_setup()
+    ys, xs = np.mgrid[0:H, 0:W]
+    xs = xs.reshape(-1).astype(np.int32)
+    ys = ys.reshape(-1).astype(np.int32)
+    new_weak, _ = jax.jit(
+        lambda d, s: filters.depth_to_weak(
+            d, s, jnp.asarray(xs), jnp.asarray(ys), 2, False, False,
+            jnp.float32(0.2), jnp.float32(dmin), jnp.float32(dmax)))(
+        data, state)
+    # weak_peak_radius 2 -> 5: the |min_peak - 30| gate moves
+    xf = jnp.asarray(xs, jnp.float32)
+    yf = jnp.asarray(ys, jnp.float32)
+    win = precompute_ref_window(data, xf, yf, 5, 2, False)
+
+    @jax.jit
+    def _ncc(planes):
+        return ncc_strong(data, xf, yf, planes, win)
+
+    rc = data.ref_cam
+    oracle = prop_oracle.run_depth_to_weak_oracle(
+        planes_dn, sel, vw, np.asarray(state.valid), xs, ys, cam,
+        np.asarray(rc.R), np.asarray(rc.c), np.asarray(data.src_cams.c),
+        lambda _x, _y, p: np.asarray(_ncc(jnp.asarray(p, jnp.float32))),
+        None, 5, 0.2, dmin, dmax, W, H, data.num_src)
+    assert not np.array_equal(np.asarray(new_weak), oracle["weak"])

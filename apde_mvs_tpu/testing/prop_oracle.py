@@ -749,3 +749,91 @@ def run_depth_to_weak_oracle(planes_dn, selected, view_weights, valid,
             weak_out[b] = STRONG if var > 0.2 else WEAK
     return dict(weak=weak_out, curve=curve, ok=ok,
                 min_peak=min_peak_out, peak_count=peak_count_out)
+
+
+def run_local_refine_oracle(planes_dn, selected, view_weights, valid,
+                            xs, ys, cam, R_ref, ref_c, src_c, cost_fn,
+                            geom_fn, geom_factor, depth_min, depth_max,
+                            S, radius=5):
+    """Scalar transcription of LocalRefine (APD.cu:2346-2432): +-5
+    one-pixel-disparity sweep at fixed (ref-cam) normal; the depth is
+    replaced when cost_now - min_cost > 0.1.  Same injection contract as
+    `run_depth_to_weak_oracle`.  Returns dict(depth (B,), refined (B,)
+    bool)."""
+    B = len(xs)
+    depth_min = f32(depth_min)
+    depth_max = f32(depth_max)
+    geom_factor = f32(geom_factor)
+
+    out_depth = np.zeros(B, f32)
+    refined = np.zeros(B, bool)
+    ok = np.zeros(B, bool)
+    n_cam = np.zeros((B, 3), f32)
+    depth0 = np.zeros(B, f32)
+    disp = np.zeros(B, f32)
+    base_line = np.zeros(B, f32)
+    wnorm = np.zeros(B, f32)
+    vw = np.zeros((B, S), f32)
+    for b in range(B):
+        x, y = int(xs[b]), int(ys[b])
+        n_w = planes_dn[y, x, :3].astype(f32)
+        d0 = f32(planes_dn[y, x, 3])
+        out_depth[b] = d0
+        depth0[b] = d0
+        n_cam[b] = R_ref.astype(f32) @ n_w
+        if d0 == 0 or not valid[y, x]:
+            continue
+        bl = f32(0.0)
+        wn = f32(0.0)
+        nsrc = 0
+        for i in range(S):
+            if selected[y, x, i]:
+                wn += f32(view_weights[y, x, i])
+                d = ref_c.astype(f32) - src_c[i].astype(f32)
+                bl += np.sqrt(f32((d * d).sum()))
+                vw[b, i] = view_weights[y, x, i]
+                nsrc += 1
+        if nsrc == 0 or wn == 0:
+            continue
+        ok[b] = True
+        base_line[b] = bl / nsrc
+        wnorm[b] = wn
+        disp[b] = f32(cam["fx"]) * base_line[b] / d0
+
+    def weighted(p_depth, gate):
+        planes = np.zeros((B, 4), f32)
+        for b in range(B):
+            if gate[b]:
+                planes[b] = make_plane(cam, int(xs[b]), int(ys[b]),
+                                       p_depth[b], n_cam[b])
+        cv = cost_fn(xs, ys, planes).astype(f32)
+        if geom_fn is not None:
+            cv = cv + geom_factor * geom_fn(xs, ys, planes).astype(f32)
+        out = np.full(B, COST_MAX, f32)
+        for b in range(B):
+            if gate[b]:
+                acc = f32(0.0)
+                for i in range(S):
+                    acc += vw[b, i] * cv[b, i]
+                out[b] = acc / wnorm[b]
+        return out
+
+    # NB: cost_now has NO depth-range gate and NO 2.0 clamp (APD.cu:2370-2398)
+    cost_now = weighted(depth0, ok)
+    min_cost = np.full(B, COST_MAX, f32)
+    best_depth = depth0.copy()
+    for p_disp in range(-radius, radius + 1):
+        p_depth = np.where(disp + p_disp != 0,
+                           f32(cam["fx"]) * base_line / (disp + p_disp),
+                           np.inf).astype(f32)
+        gate = ok & (p_depth >= depth_min) & (p_depth <= depth_max)
+        c = weighted(p_depth, gate)
+        for b in range(B):
+            if gate[b] and c[b] < min_cost[b]:
+                min_cost[b] = c[b]
+                best_depth[b] = p_depth[b]
+    for b in range(B):
+        if ok[b] and cost_now[b] - min_cost[b] > f32(0.1):
+            out_depth[b] = best_depth[b]
+            refined[b] = True
+    return dict(depth=out_depth, refined=refined, ok=ok)

@@ -508,3 +508,46 @@ def test_depth_to_weak_oracle_detects_threshold_perturbations():
         lambda _x, _y, p: np.asarray(_ncc(jnp.asarray(p, jnp.float32))),
         None, 5, 0.2, dmin, dmax, W, H, data.num_src)
     assert not np.array_equal(np.asarray(new_weak), oracle["weak"])
+
+
+@pytest.mark.parametrize("geom", [False, True])
+def test_local_refine_matches_oracle(geom):
+    from apde_mvs_tpu.ops import filters
+
+    (scene, data, state, dmin, dmax, cam, planes_dn, sel,
+     vw) = _classify_setup(seed=13, geom=geom)
+    ys, xs = np.mgrid[0:H, 0:W]
+    xs = xs.reshape(-1).astype(np.int32)
+    ys = ys.reshape(-1).astype(np.int32)
+    gf = 0.2
+    new_depth = jax.jit(
+        lambda d, s: filters.local_refine(
+            d, s, jnp.asarray(xs), jnp.asarray(ys), False, geom,
+            jnp.float32(gf), jnp.float32(dmin), jnp.float32(dmax)))(
+        data, state)
+
+    xf = jnp.asarray(xs, jnp.float32)
+    yf = jnp.asarray(ys, jnp.float32)
+    win = precompute_ref_window(data, xf, yf, 5, 2, False)
+
+    @jax.jit
+    def _ncc(planes):
+        return ncc_strong(data, xf, yf, planes, win)
+
+    @jax.jit
+    def _geom(planes):
+        return geom_cost(data, xf, yf, planes)
+
+    rc = data.ref_cam
+    oracle = prop_oracle.run_local_refine_oracle(
+        planes_dn, sel, vw, np.asarray(state.valid), xs, ys, cam,
+        np.asarray(rc.R), np.asarray(rc.c), np.asarray(data.src_cams.c),
+        lambda _x, _y, p: np.asarray(_ncc(jnp.asarray(p, jnp.float32))),
+        (lambda _x, _y, p: np.asarray(_geom(jnp.asarray(p, jnp.float32))))
+        if geom else None,
+        gf, dmin, dmax, data.num_src)
+    np.testing.assert_allclose(np.asarray(new_depth), oracle["depth"],
+                               rtol=3e-5, atol=3e-5)
+    # the >0.1 improvement gate must actually fire on this fixture
+    assert oracle["refined"].sum() > 20
+    assert (~oracle["refined"] & oracle["ok"]).sum() > 20

@@ -554,10 +554,16 @@ def _host_sync(tag, state):
     if mode == "0":
         return
     import time as _time
+    from ..ops.propagation import _STALL_WARN_S
     t0 = _time.time()
     np.asarray(state.costs.reshape(-1)[:1])
+    dt = _time.time() - t0
     if mode == "1":
-        print(f"  [host_sync] {tag}: {_time.time() - t0:.1f} s", flush=True)
+        print(f"  [host_sync] {tag}: {dt:.1f} s", flush=True)
+    if dt > _STALL_WARN_S:
+        print(f"WEDGE WARNING: host_sync {tag} took {dt:.0f}s "
+              f"(> {_STALL_WARN_S:.0f}s) — remote worker stall suspected",
+              flush=True)
 
 
 def _iterations_host(data, state, key, cfg: StaticCfg, nw_cap,

@@ -337,11 +337,15 @@ def _host_chunks(num_src: int, banded: bool = False) -> Tuple[int, int]:
     bucketed to powers of two so few chunk-shaped kernels compile.
     APDE_CHUNK_STRONG / APDE_CHUNK_WEAK override for experiments.
 
-    `banded` caps the strong chunk at 2^17: the static-band fast path
+    `banded` caps the strong chunk at 2^16: the static-band fast path
     needs the chunk's raster footprint (2C/W image rows for C same-color
     pixels) plus candidate reach and warp spread to fit the BAND_ROWS/W-row
     window — the default 2^18 chunk spans ~173 rows at ETH3D half-res vs
-    the 260-row band and measured a 0% fit rate; 2^17 spans ~87."""
+    the 260-row band (0% fit), 2^17 spans ~87 (11% of APD strong chunks
+    fit), 2^16 spans ~43 (28% strong / 65% init fit). The full-res A/B
+    (PERF_NOTES round 4) measured the 2^16 cap at 2440 s vs 2812 s for
+    the same APD pass — more chunks, but more of them ride the band and
+    each program is safer against the worker budget."""
     import os
     budget_rows = 2.5e9
 
@@ -354,7 +358,7 @@ def _host_chunks(num_src: int, banded: bool = False) -> Tuple[int, int]:
     cs = int(os.environ.get("APDE_CHUNK_STRONG", "0")) \
         or bucket(budget_rows / (14 * num_src * 36))
     if banded:
-        cs = min(cs, 1 << 17)
+        cs = min(cs, 1 << 16)
     cw = int(os.environ.get("APDE_CHUNK_WEAK", "0")) \
         or bucket(budget_rows / (15 * num_src * 324))
     return cs, cw

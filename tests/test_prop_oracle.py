@@ -551,3 +551,21 @@ def test_local_refine_matches_oracle(geom):
     # the >0.1 improvement gate must actually fire on this fixture
     assert oracle["refined"].sum() > 20
     assert (~oracle["refined"] & oracle["ok"]).sum() > 20
+
+
+def test_weak_oracle_detects_geom_penalty_perturbation(monkeypatch):
+    """The flat 3.0 geom penalty for invalid anchors (APD.cu:1565) is a
+    constant the oracle must guard.  Its observable role: with geom ON it
+    lifts invalid anchors' final_costs off zero, which is what lets valid
+    anchors win the last-min scan at all — shrinking it far enough parks
+    the minimum back on invalid anchors and blocks adoptions."""
+    monkeypatch.setattr(prop_oracle, "GEOM_COST_MAX", np.float32(0.1))
+    cfg = PropCfg(use_sa=False, geom_consistency=True, use_impetus=False,
+                  refine_init=False)
+    got, oracle = _run_both_weak(cfg, iteration=2, geom_factor=0.5)
+    mismatch = (not np.array_equal(got["vw"], oracle["vw"])
+                or not np.allclose(got["costs"], oracle["costs_out"],
+                                   rtol=2e-5, atol=2e-5)
+                or not np.allclose(got["planes"], oracle["planes_out"],
+                                   rtol=2e-5, atol=2e-5))
+    assert mismatch

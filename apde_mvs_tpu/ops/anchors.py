@@ -143,6 +143,20 @@ class AnchorResult(NamedTuple):
     hit_count: jnp.ndarray  # (Nw,) int32 directions with an accepted probe
 
 
+RANSAC_ITERS = 50           # reference: `int iteration = 50` (APD.cu:1989)
+
+
+class AnchorRaws(NamedTuple):
+    """Injected raw random draws for `gen_anchors` (testing seam: the anchor
+    oracle in testing/anchor_oracle.py consumes the SAME draws positionally,
+    so production and oracle decisions are comparable exactly — the pattern
+    established by ops.propagation.RefineRaws / testing.prop_oracle)."""
+
+    shift_x: jnp.ndarray    # (Nw, D*Rn*J) int32 jitter draws
+    shift_y: jnp.ndarray    # (Nw, D*Rn*J) int32
+    triplets: jnp.ndarray   # (RANSAC_ITERS, Nw, 3) int32 raw draws [0, 2^30)
+
+
 def _point_in_triangle(ax, ay, bx, by, cx, cy, px, py):
     """Reference PointinTriangle (APD.cu:122-143): degenerate edges (<= 2 px)
     and near-collinear triangles rejected; same-side cross-product test."""
@@ -177,12 +191,16 @@ def _plane_from_triplet(pts, a_idx, b_idx, c_idx):
 def gen_anchors(key, data, state: PMState, weak_x, weak_y, weak_valid,
                 rotate_time: int, ransac_threshold, depth_min, depth_max,
                 nearest_strong: jnp.ndarray, jitter_samples: int = 4,
-                radius_budget: int = 25) -> AnchorResult:
+                radius_budget: int = 25,
+                raws: "AnchorRaws | None" = None) -> AnchorResult:
     """Anchor generation for the compacted weak list (reference: GenAnchors).
 
     `state.planes[..., 3]` must hold depths (this op runs before the per-pass
     camera-frame conversion, as in the reference's kernel order,
     APD.cu:2685-2690).
+
+    ``raws`` injects the jitter/RANSAC random draws (tests); None draws them
+    from ``key`` exactly as before.
     """
     h = getattr(data, "img_h", None) or state.weak.shape[0]
     w = getattr(data, "img_w", None) or state.weak.shape[1]
@@ -214,11 +232,17 @@ def gen_anchors(key, data, state: PMState, weak_x, weak_y, weak_valid,
     diry_f = jnp.asarray(dirs_np[d_of, 1])
     rad_f = jnp.asarray(radii_np[r_of])
 
-    key, k_sx, k_sy = jax.random.split(key, 3)
-    shift_x = jax.random.randint(
-        k_sx, (Nw, DRJ), -shift_range + 1, shift_range).astype(jnp.float32)
-    shift_y = jax.random.randint(
-        k_sy, (Nw, DRJ), -shift_range + 1, shift_range).astype(jnp.float32)
+    if raws is None:
+        key, k_sx, k_sy = jax.random.split(key, 3)
+        shift_x = jax.random.randint(
+            k_sx, (Nw, DRJ), -shift_range + 1, shift_range
+        ).astype(jnp.float32)
+        shift_y = jax.random.randint(
+            k_sy, (Nw, DRJ), -shift_range + 1, shift_range
+        ).astype(jnp.float32)
+    else:
+        shift_x = raws.shift_x.astype(jnp.float32)
+        shift_y = raws.shift_y.astype(jnp.float32)
     pdx = dirx_f * 20.0 + shift_x
     pdy = diry_f * 20.0 + shift_y
     pn = jnp.maximum(jnp.sqrt(pdx * pdx + pdy * pdy), 1e-20)
@@ -282,8 +306,11 @@ def gen_anchors(key, data, state: PMState, weak_x, weak_y, weak_valid,
 
     def ransac_body(i, carry):
         best_count, best_cdist, best_plane, best_abc, has_plane, k = carry
-        k, kd = jax.random.split(k)
-        ns = draw(kd)
+        if raws is None:
+            k, kd = jax.random.split(k)
+            ns = draw(kd)
+        else:
+            ns = raws.triplets[i] % jnp.maximum(count, 1)[:, None]
         a = nth_valid(ns[:, 0])
         b = nth_valid(ns[:, 1])
         c = nth_valid(ns[:, 2])
@@ -318,7 +345,7 @@ def gen_anchors(key, data, state: PMState, weak_x, weak_y, weak_valid,
             jnp.zeros((Nw, 4)), jnp.full((Nw, 3), -1, jnp.int32),
             jnp.zeros((Nw,), bool), k_ransac)
     best_count, _, best_plane, best_abc, has_plane, _ = jax.lax.fori_loop(
-        0, 50, ransac_body, init)
+        0, RANSAC_ITERS, ransac_body, init)
 
     # rank hits by plane distance (triangle members boosted by -1), keep 8
     dist = jnp.abs((pts * best_plane[:, None, :3]).sum(-1)

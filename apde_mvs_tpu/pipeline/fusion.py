@@ -198,6 +198,14 @@ def run_fusion(dense_folder, problems, name: str, params: FusionParams,
     consumption = None
     if params.variant == "general":
         if shard is not None:
+            # the owner-wins replay buckets global pixel ids at multiples of
+            # ONE hw (views[0]); mixed-resolution depth maps would misbucket
+            # views at merge time — fail here with a clear message instead
+            shapes = {v.depth.shape for v in views}
+            if len(shapes) != 1:
+                raise ValueError(
+                    "sharded fusion with consumption recording requires all "
+                    f"views to share one depth-map shape; got {shapes}")
             coords, colors, consumption = _fuse_general(
                 views, problems, params, ref_indices,
                 record_consumption=True)
@@ -243,7 +251,12 @@ def _write_consumption(ply_path, consumption, hw: int) -> None:
     np.save(d / "origin.npy", consumption["origin"].astype(gid_dt))
     np.save(d / "cons_pt.npy", consumption["cons_pt"].astype(pt_dt))
     np.save(d / "cons_gid.npy", consumption["cons_gid"].astype(gid_dt))
-    (d / "meta.json").write_text(_json.dumps({"hw": int(hw)}))
+    # lengths + version let the merge detect writer/reader skew or a
+    # partially rewritten sidecar (one .npy regenerated, others stale)
+    (d / "meta.json").write_text(_json.dumps({
+        "version": 1, "hw": int(hw),
+        "n_origin": int(len(consumption["origin"])),
+        "n_cons": int(len(consumption["cons_pt"]))}))
 
 
 def _owner_wins_replay(sides, hw: int, chunk: int = 1 << 24):
@@ -355,6 +368,29 @@ def owner_wins_filter(origin, cons_pt, cons_gid, hw):
     return kept
 
 
+def _consumption_side_ok(side, meta) -> bool:
+    """Cross-check one shard's consumption sidecar against its recorded
+    meta (format version, per-array lengths, entry/point pairing, point-rank
+    bound) so a partially rewritten sidecar — one .npy regenerated while the
+    others are stale — is caught before the replay trusts it."""
+    if meta.get("version", 0) != 1:
+        return False
+    n_origin = meta.get("n_origin")
+    n_cons = meta.get("n_cons")
+    if n_origin is None or n_cons is None:
+        return False
+    if len(side["origin"]) != n_origin or len(side["cons_pt"]) != n_cons \
+            or len(side["cons_gid"]) != n_cons:
+        return False
+    # cons_pt holds this shard's point ranks; a stale origin.npy shows up as
+    # ranks past the point count (cheap endpoint checks — entries append in
+    # point order, so the final entry carries the largest rank seen late)
+    if n_cons and (int(side["cons_pt"][-1]) >= n_origin
+                   or int(side["cons_pt"][0]) >= n_origin):
+        return False
+    return True
+
+
 def merge_fusion_shards(dense_folder, name: str, num_shards: int,
                         export_color: bool = True) -> Path:
     """Merge partial PLYs written by sharded fusion runs.
@@ -380,10 +416,12 @@ def merge_fusion_shards(dense_folder, name: str, num_shards: int,
         if (d / "meta.json").exists():
             # mmap: the stress-scale sidecars are tens of GB total and the
             # replay only touches one view's slices at a time
-            sides.append({
-                k: np.load(d / f"{k}.npy", mmap_mode="r")
-                for k in ("origin", "cons_pt", "cons_gid")})
-            hw = int(_json.loads((d / "meta.json").read_text())["hw"])
+            side = {k: np.load(d / f"{k}.npy", mmap_mode="r")
+                    for k in ("origin", "cons_pt", "cons_gid")}
+            meta = _json.loads((d / "meta.json").read_text())
+            hw = int(meta["hw"])
+            side["_meta_ok"] = _consumption_side_ok(side, meta)
+            sides.append(side)
         else:
             sides.append(None)
     part_sizes = [len(c) for c in coords]
@@ -391,7 +429,8 @@ def merge_fusion_shards(dense_folder, name: str, num_shards: int,
     colors = np.concatenate(colors) if colors else None
 
     sides_ok = all(s is not None for s in sides) and all(
-        len(s["origin"]) == m for s, m in zip(sides, part_sizes))
+        len(s["origin"]) == m and s["_meta_ok"]
+        for s, m in zip(sides, part_sizes))
     if any(s is not None for s in sides) and not sides_ok:
         print("merge_fusion_shards: consumption sidecars are stale or "
               "incomplete for the current part PLYs — merging without the "

@@ -275,10 +275,16 @@ def _verify_gather_budget(data) -> None:
         idx = jax.random.randint(key, (n,), 0, n_rows, dtype=jnp.int32)
         return take_rows(tab, idx).astype(jnp.float32).sum()
 
+    # every call gets a never-repeated key: the axon remote layer memoizes
+    # repeated identical (program, inputs) computations (CLAUDE.md), so a
+    # measured call reusing a warmup call's key can collapse to ~0 s and
+    # read as bogus drift (or mask real drift)
+    call_counter = iter(range(1 << 30))
+
     def timed(n):
         best = float("inf")
-        for rep in range(3):
-            key = jax.random.PRNGKey(n + rep)   # fresh inputs per rep
+        for _ in range(3):
+            key = jax.random.PRNGKey(n + 10_000 + next(call_counter))
             t0 = time.perf_counter()
             out = g(table, key, n)
             float(np.asarray(out))          # readback forces completion

@@ -379,9 +379,16 @@ def make_curved_scene(
     return SyntheticScene(cams, images, np.stack(deps), np.stack(nrms), prims)
 
 
-def write_scene_to_disk(scene: SyntheticScene, root) -> None:
+def write_scene_to_disk(scene: SyntheticScene, root,
+                        max_neighbors: Optional[int] = None) -> None:
     """Materialize a scene as an MVSNet-format scan folder (images/, cams/,
-    pair.txt) so end-to-end CLI tests can run on it."""
+    pair.txt) so end-to-end CLI tests can run on it.
+
+    ``max_neighbors`` caps each view's pair.txt neighbor list (nearest by
+    view index, like colmap2mvsnet's sequential view selection). The
+    reference engine hard-fails on >MAX_IMAGES(=32) views per problem
+    (APD.cpp:528-531) — real pair.txt files are always pre-capped by the
+    converter — so large-view-count scans (TaT-shape) must cap here too."""
     import os
 
     from ..io.cameras import write_camera, write_pair
@@ -398,5 +405,7 @@ def write_scene_to_disk(scene: SyntheticScene, root) -> None:
                      scene.cameras[v])
         neighbors = [(u, float(V - abs(u - v))) for u in range(V) if u != v]
         neighbors.sort(key=lambda e: -e[1])
+        if max_neighbors is not None:
+            neighbors = neighbors[:max_neighbors]
         entries.append((v, neighbors))
     write_pair(os.path.join(root, "pair.txt"), entries)

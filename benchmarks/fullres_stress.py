@@ -31,6 +31,13 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import numpy as np
 
+# accumulating per-pass summaries across main() calls ({"pass", "wall_s",
+# "median_rel_depth_err_pct", ...}) — bench.py's default run embeds these in
+# its final driver-parsed JSON line so the full-pass regime numbers land in
+# BENCH_r{N}.json (VERDICT r4 weak #1: the moving axis must be visible to
+# the driver, not only in side files)
+RESULTS = []
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -99,11 +106,13 @@ def main():
         d = np.asarray(out.depth)[:H, :W]
         ok = (gt > 0) & (d > 0)
         rel = np.abs(d[ok] - gt[ok]) / gt[ok]
-        print(json.dumps({
+        summary = {
             "pass": tag, "wall_s": round(dt, 1),
             "median_rel_depth_err_pct": round(float(np.median(rel)) * 100, 4),
             "pct_within_1pct": round(float((rel < 0.01).mean()) * 100, 1),
-            "mem_gb": mem()}), flush=True)
+            "mem_gb": mem()}
+        RESULTS.append(summary)
+        print(json.dumps(summary), flush=True)
         from apde_mvs_tpu.ops.propagation import BAND_DISPATCH_STATS
         print(json.dumps({"band_dispatch": {
             k: {"banded": v[0], "plain": v[1]}

@@ -140,13 +140,18 @@ def _rows_to_bounds(data: CostData, lo_row, hi_row, ok) -> BandBounds:
 
 
 def strong_bounds(data: CostData, x, y, planes, max_extent: int,
-                  union: bool = False, valid=None) -> BandBounds:
+                  union: bool = False, valid=None,
+                  with_rows: bool = False):
     """Band decisions for a (B, C, 4) candidate-plane set.
 
     Returns (C, S) origin/fits, or with ``union=True`` a single per-view
     band covering ALL C plane sets — (S,) origin/fits (the production chunk
     bodies use one band per view; measured equal to per-candidate bands,
     benchmarks/static_band_probe.py).
+
+    ``with_rows=True`` additionally returns the raw (lo, hi, ok) image-row
+    extents (same shapes as origin) — diagnostics for the span-distribution
+    stats (benchmarks/strong_span_stats.py), not a production path.
 
     `valid` (B, C) excludes entries from the bound. ONLY entries whose body
     result is provably gather-independent may be excluded: checkerboard
@@ -190,8 +195,12 @@ def strong_bounds(data: CostData, x, y, planes, max_extent: int,
 
     ok, lo, hi = jax.vmap(one_view)(tuple(data.src_cams))  # (S, [C])
     bb = _rows_to_bounds(data, lo, hi, ok)
-    return BandBounds(origin=jnp.moveaxis(bb.origin, 0, -1),
-                      fits=jnp.moveaxis(bb.fits, 0, -1))
+    bb = BandBounds(origin=jnp.moveaxis(bb.origin, 0, -1),
+                    fits=jnp.moveaxis(bb.fits, 0, -1))
+    if with_rows:
+        return bb, (jnp.moveaxis(lo, 0, -1), jnp.moveaxis(hi, 0, -1),
+                    jnp.moveaxis(ok, 0, -1))
+    return bb
 
 
 def sweep_extent(strong_radius: int, use_sa: bool) -> int:
@@ -356,16 +365,12 @@ def banded_view_tables(data: CostData, origins) -> CostData:
                                           origins, (data.num_src,))))
 
 
-def strong_chunk_bounds(data: CostData, state, kr, x, y,
-                        depth_min, depth_max, max_extent: int,
-                        row_bounds=None) -> BandBounds:
-    """Single-chunk variant of strong_sweep_bounds (origin (S,), fits
-    scalar): the host drivers dispatch one small pre-pass program per chunk
-    — a one-program-per-sweep scan over all chunks wedged the remote TPU
-    worker mid-pass twice (reproducibly cleared by the bands-off control;
-    per-chunk programs are structurally identical to the chunk bodies that
-    have run for hours without incident). `kr` is the chunk's already-folded
-    refinement key."""
+def strong_chunk_planes(data: CostData, state, kr, x, y,
+                        depth_min, depth_max, row_bounds=None):
+    """The exact plane/validity set the banded `_strong_body` gathers for
+    one chunk: 8 checkerboard candidates + current (9 possible winners) +
+    the 2 anchored refinement variants of each winner from the SAME raw
+    draws. Returns (planes (B, 27, 4), valid (B, 27))."""
     from .propagation import checkerboard_candidates, refinement_from_raws, \
         refinement_raws
     from ..core.sampling import fetch
@@ -391,8 +396,22 @@ def strong_chunk_bounds(data: CostData, state, kr, x, y,
             [geo.make_plane(cam, xf, yf, d5[:, i], n5[:, i])
              for i in (3, 4)], axis=1))
         valids.append(jnp.repeat(base_valid[:, wi:wi + 1], 2, axis=1))
-    allp = jnp.concatenate(variants, axis=1)               # (B, 27, 4)
-    allv = jnp.concatenate(valids, axis=1)                 # (B, 27)
-    bb = strong_bounds(data, xf, yf, allp, max_extent, union=True,
-                       valid=allv)
+    return (jnp.concatenate(variants, axis=1),             # (B, 27, 4)
+            jnp.concatenate(valids, axis=1))               # (B, 27)
+
+
+def strong_chunk_bounds(data: CostData, state, kr, x, y,
+                        depth_min, depth_max, max_extent: int,
+                        row_bounds=None) -> BandBounds:
+    """Single-chunk variant of strong_sweep_bounds (origin (S,), fits
+    scalar): the host drivers dispatch one small pre-pass program per chunk
+    — a one-program-per-sweep scan over all chunks wedged the remote TPU
+    worker mid-pass twice (reproducibly cleared by the bands-off control;
+    per-chunk programs are structurally identical to the chunk bodies that
+    have run for hours without incident). `kr` is the chunk's already-folded
+    refinement key."""
+    allp, allv = strong_chunk_planes(data, state, kr, x, y,
+                                     depth_min, depth_max, row_bounds)
+    bb = strong_bounds(data, x.astype(jnp.float32), y.astype(jnp.float32),
+                       allp, max_extent, union=True, valid=allv)
     return BandBounds(origin=bb.origin, fits=jnp.all(bb.fits))

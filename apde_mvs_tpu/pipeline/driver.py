@@ -394,12 +394,12 @@ def run_scan(dense_folder, dataset: str = "General", *,
             n_dev = len(_jax.local_devices())
             # tile route (parallel.tile_pass): one view's pass row-sharded
             # over ALL chips — engaged when views would leave chips idle
-            # (V < devices) or a single view busts the worker budget. Only
-            # non-APD passes: the tile engine's weak machinery is
-            # replicated, so APD stage estimates do not shrink by n.
-            tile_ok = not (spec.params.use_apd
-                           and spec.params.state != "first_init")
-            if tile_ok and n_dev > 1 \
+            # (V < devices) or a single view busts the worker budget. APD
+            # passes route here too since round 5: the weak machinery
+            # (anchors / fit RANSAC / deformable sweeps) is sharded over
+            # the compacted weak list, so the whole stage estimate shrinks
+            # by the device count (only the full-image JFA is replicated).
+            if n_dev > 1 \
                     and (len(problems) < n_dev
                          or per_view > _PROGRAM_BUDGET_S) \
                     and per_view / n_dev <= _PROGRAM_BUDGET_S:

@@ -210,11 +210,11 @@ class ViewParallelRunner:
 
     def run_pass_tiled(self, spec: cfg.PassSpec) -> None:
         """Run one pass view-by-view, each view's pass row-sharded over ALL
-        devices (parallel.tile_pass): the few-views-many-chips route and the
-        over-budget route for non-APD passes (the tile engine's weak
-        machinery is replicated, so only non-APD stage estimates shrink by
-        the device count). File interchange semantics match the serial
-        engine (Jacobi neighbor depths)."""
+        devices (parallel.tile_pass): the few-views-many-chips route and
+        the over-budget route. APD passes shard their weak machinery over
+        the compacted weak list (round 5), so the whole per-view stage
+        estimate shrinks by the device count. File interchange semantics
+        match the serial engine (Jacobi neighbor depths)."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import Mesh
@@ -283,6 +283,8 @@ class ViewParallelRunner:
                                                  (h, w), (ph, pw))
                 wyy, wxx = np.nonzero(prior_weak == WEAK)
                 cap = _bucket(len(wxx)) if len(wxx) else 0
+                # the tile engine shards the weak list over the mesh
+                cap = -(-cap // n) * n if cap else 0
                 wx = np.zeros(max(cap, 1), np.int32)
                 wy = np.zeros(max(cap, 1), np.int32)
                 wx[:len(wxx)] = wxx

@@ -102,3 +102,89 @@ def test_run_scan_routes_tiles_when_views_below_devices(tmp_path, capsys):
     ok = (depth > 0) & (gt > 0)
     rel = np.abs(depth - gt)[ok] / gt[ok]
     assert np.median(rel) < 0.01, f"tiled scan depth error {np.median(rel)}"
+
+
+def _apd_tile_run(scene, n_devices, cap=2048, seed=5):
+    """One refine_init APD pass through the tile engine: priors = noisy
+    ground truth, weak list = the scene's low-texture region. Exercises the
+    round-5 SHARDED weak machinery (anchors / fit RANSAC / deformable weak
+    sweeps split over the mesh; VERDICT r4 #1)."""
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("tiles",))
+    params = cfg.PatchMatchParams(state="refine_init", max_iterations=2,
+                                  use_sa=False, use_apd=True,
+                                  geom_consistency=False, rotate_time=2)
+    cams = geo.CameraArrays.from_cameras(scene.cameras)
+    src_ids = [v for v in range(V) if v != 0]
+    imgs = np.clip(np.round(scene.images), 0, 255).astype(np.uint8)
+    gt = scene.depths[0]
+    rng = np.random.default_rng(seed)
+    prior_depth = (gt * (1 + 0.01 * rng.standard_normal(gt.shape))
+                   ).astype(np.float32)
+    prior_normal = scene.normals[0].astype(np.float32)
+    # weak = the low-texture second plane region (where texture amp ~1.5)
+    weak_map = np.full((H, W), cfg.STRONG, np.int32)
+    # mark the weak_region rectangle via its distinct (nearer) plane depth
+    weak_map[gt < 0.95 * np.median(gt)] = cfg.WEAK
+    wy, wx = np.nonzero(weak_map == cfg.WEAK)
+    assert 32 < len(wx) < cap, f"weak region size {len(wx)}"
+    wxp = np.zeros(cap, np.int32)
+    wyp = np.zeros(cap, np.int32)
+    wvp = np.zeros(cap, bool)
+    wxp[:len(wx)] = wx
+    wyp[:len(wy)] = wy
+    wvp[:len(wx)] = True
+    pcfg = PassStatic.from_params(params, nw_cap=cap)
+    step = build_tile_pass(mesh, pcfg, V - 1, (H, W), (H, W))
+    tp = TileInputs(
+        ref_image=jnp.asarray(imgs[0]),
+        src_images=jnp.asarray(imgs[src_ids]),
+        ref_cam=cams.view(0),
+        src_cams=geo.CameraArrays(*[a[np.asarray(src_ids)] for a in cams]),
+        sa=jnp.zeros((H, W), jnp.int32),
+        src_depths=jnp.zeros((len(src_ids), H, W), jnp.float32),
+        prior_depth=jnp.asarray(prior_depth),
+        prior_normal=jnp.asarray(prior_normal),
+        prior_weak=jnp.asarray(weak_map),
+        prior_conf=jnp.full((H, W), 4.0, jnp.float32),
+        valid=jnp.ones((H, W), bool),
+        weak_x=jnp.asarray(wxp), weak_y=jnp.asarray(wyp),
+        weak_valid=jnp.asarray(wvp),
+        key=jax.random.PRNGKey(11),
+        dmin=jnp.float32(float(gt[gt > 0].min()) * 0.7),
+        dmax=jnp.float32(float(gt.max()) * 1.3))
+    depth, normal, weak, conf, cost = step(
+        tp, jnp.float32(params.ransac_threshold),
+        jnp.int32(params.weak_peak_radius), jnp.float32(0.2))
+    return np.asarray(depth), np.asarray(weak), weak_map, gt
+
+
+@pytest.fixture(scope="module")
+def weak_scene():
+    return synthetic.make_scene(num_views=V, height=H, width=W,
+                                weak_region=(-0.25, 0.25, -0.2, 0.2))
+
+
+def test_tile_pass_apd_sharded_weak_quality_and_invariance(weak_scene):
+    """The sharded weak machinery must (a) reconstruct the weak region on
+    any mesh size and (b) agree across mesh sizes as well as it agrees with
+    ground truth (per-device keys differ, so statistical equivalence)."""
+    gt = weak_scene.depths[0]
+    results = {}
+    for n in (1, 4):
+        depth, weak_out, weak_map, _ = _apd_tile_run(weak_scene, n)
+        weak_px = weak_map == cfg.WEAK
+        ok = (depth > 0) & (gt > 0)
+        rel = np.abs(depth - gt)[ok] / gt[ok]
+        assert np.median(rel) < 0.005, f"{n}-device APD tile err {np.median(rel)}"
+        relw = (np.abs(depth - gt) / gt)[ok & weak_px]
+        assert np.median(relw) < 0.01, \
+            f"{n}-device weak-region err {np.median(relw)}"
+        results[n] = depth
+    ok = (results[1] > 0) & (results[4] > 0)
+    cross = np.abs(results[1] - results[4])[ok] / results[4][ok]
+    assert np.median(cross) < 0.01
+
+
+def test_tile_pass_apd_rejects_undivisible_cap(weak_scene):
+    with pytest.raises(ValueError, match="divide over"):
+        _apd_tile_run(weak_scene, 4, cap=2049)

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "into a partial PLY")
     p.add_argument("--merge_fusion", type=int, default=None,
                    help="merge N partial fusion PLYs into APD.ply and exit")
+    p.add_argument("--start_iteration", type=int, default=0,
+                   help="skip schedule passes below this iteration index "
+                        "(coarse mid-scan recovery: state reloads from the "
+                        "per-view bins exactly as any non-first pass does)")
     p.add_argument("--sampler", type=str, default="u8",
                    choices=["u8", "f32"],
                    help="source sampling table dtype: u8 quads (fast, "
@@ -105,7 +109,8 @@ def main(argv=None) -> int:
             views_parallel={"auto": None, "true": True,
                             "false": False}[args.views_parallel],
             view_batch=args.view_batch,
-            sampler_u8=(args.sampler == "u8"))
+            sampler_u8=(args.sampler == "u8"),
+            start_iteration=args.start_iteration)
     return 0
 
 

@@ -321,12 +321,19 @@ def run_scan(dense_folder, dataset: str = "General", *,
              seed: int = 0, pyramid_base: int = PYRAMID_BASE_MAX_DIM,
              fuse_shard=None, views_parallel: Optional[bool] = None,
              view_batch: Optional[int] = None,
-             sampler_u8: bool = True) -> None:
+             sampler_u8: bool = True, start_iteration: int = 0) -> None:
     """Full scan reconstruction (reference: main.cpp:210-411).
 
     ``views_parallel``: run every view's pass simultaneously with views
     sharded over all local devices (pipeline.scan_parallel). Default (None)
-    auto-enables when more than one device is attached."""
+    auto-enables when more than one device is attached.
+
+    ``start_iteration``: skip schedule passes below this iteration index —
+    coarse mid-scan recovery on top of the reference's restart model
+    (SURVEY §5.3: per-view bins ARE the checkpoint; every non-first pass
+    rebuilds its state from disk, so re-entering at a pass boundary after
+    a crash/wedge is exact up to the Jacobi staleness resume already has).
+    """
     from ..core.platform import enable_compilation_cache
     from .fusion import run_fusion
 
@@ -373,6 +380,10 @@ def run_scan(dense_folder, dataset: str = "General", *,
 
     t0 = time.time()
     for spec in schedule:
+        if spec.iteration < start_iteration:
+            print(f"======== iteration {spec.iteration} skipped "
+                  f"(resume from {start_iteration}) ========", flush=True)
+            continue
         print(f"======== iteration {spec.iteration} (round {spec.round_index},"
               f" scale 1/{spec.scale_size}, {spec.params.state}) ========",
               flush=True)

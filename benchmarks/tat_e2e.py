@@ -56,49 +56,84 @@ def build_scan(args) -> dict:
 
 
 def run_engine(args) -> dict:
-    """Run cli.apd as a subprocess; poll RSS; parse per-pass prints."""
-    cmd = [sys.executable, "-m", "apde_mvs_tpu.cli.apd",
-           "--dense_folder", args.scan_dir,
-           "--dataset", "TaT_i",
-           "--use_sa", "false",
-           "--views_parallel", "true",
-           "--seed", "7"]
+    """Run cli.apd as a subprocess; poll RSS; parse per-pass prints.
+
+    A stall watchdog guards against the remote-worker/tunnel wedge class
+    (PERF_NOTES r4: a client can block forever on a response that never
+    comes): if the engine log stops growing for --stall_timeout seconds,
+    the engine is killed and relaunched with `--start_iteration <last
+    pass seen>` — the per-view bins are the checkpoint, so re-entry at a
+    pass boundary is the framework's own coarse recovery."""
+    base_cmd = [sys.executable, "-m", "apde_mvs_tpu.cli.apd",
+                "--dense_folder", args.scan_dir,
+                "--dataset", "TaT_i",
+                "--use_sa", "false",
+                "--views_parallel", "true",
+                "--seed", "7"]
     if args.pyramid_base:
         # real TaT images (1920x1080) get a 3-round schedule from the 800 px
         # base (main.cpp:129-146) and run the APD machinery from round 1 on;
         # a downsized artifact must shrink the base proportionally or the
         # single-round schedule would skip APD entirely (use_APD=false for
         # all of round 0, main.cpp:312-346)
-        cmd += ["--pyramid_base", str(args.pyramid_base)]
+        base_cmd += ["--pyramid_base", str(args.pyramid_base)]
     if args.view_batch:
-        cmd += ["--view_batch", str(args.view_batch)]
+        base_cmd += ["--view_batch", str(args.view_batch)]
     env = dict(os.environ)
     env["APDE_STAGE_TIMING"] = "1"
     log_path = os.path.join(args.scan_dir, "engine_log.txt")
-    print(f"running: {' '.join(cmd)}\nlog: {log_path}", flush=True)
     t0 = time.time()
-    with open(log_path, "w") as log:
-        proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
-                                env=env, cwd=_REPO)
-        peak_rss = [0]
+    peak_rss = [0]
+    restarts = []
+    start_iter = args.start_iteration
+    for attempt in range(4):
+        cmd = list(base_cmd)
+        if start_iter:
+            cmd += ["--start_iteration", str(start_iter)]
+        print(f"running: {' '.join(cmd)}\nlog: {log_path}", flush=True)
+        mode = "a" if attempt else "w"
+        with open(log_path, mode) as log:
+            proc = subprocess.Popen(cmd, stdout=log,
+                                    stderr=subprocess.STDOUT,
+                                    env=env, cwd=_REPO)
+            stalled = [False]
 
-        def poll():
-            status = f"/proc/{proc.pid}/status"
-            while proc.poll() is None:
-                try:
-                    with open(status) as f:
-                        for line in f:
-                            if line.startswith("VmRSS:"):
-                                peak_rss[0] = max(peak_rss[0],
-                                                  int(line.split()[1]))
-                except OSError:
-                    pass
-                time.sleep(2.0)
+            def poll():
+                status = f"/proc/{proc.pid}/status"
+                while proc.poll() is None:
+                    try:
+                        with open(status) as f:
+                            for line in f:
+                                if line.startswith("VmRSS:"):
+                                    peak_rss[0] = max(peak_rss[0],
+                                                      int(line.split()[1]))
+                        if time.time() - os.path.getmtime(log_path) \
+                                > args.stall_timeout:
+                            stalled[0] = True
+                            proc.kill()      # exact PID only
+                            return
+                    except OSError:
+                        pass
+                    time.sleep(5.0)
 
-        th = threading.Thread(target=poll, daemon=True)
-        th.start()
-        rc = proc.wait()
-        th.join(timeout=5)
+            th = threading.Thread(target=poll, daemon=True)
+            th.start()
+            rc = proc.wait()
+            th.join(timeout=10)
+        if not stalled[0]:
+            break
+        # resume from the last pass the log reached (redo the wedged pass)
+        last_iter = 0
+        with open(log_path) as f:
+            for line in f:
+                m = re.match(r"=+ iteration (\d+) \(", line)
+                if m:
+                    last_iter = int(m.group(1))
+        start_iter = last_iter
+        restarts.append({"attempt": attempt, "resumed_at": last_iter,
+                         "t_s": round(time.time() - t0, 1)})
+        print(f"WATCHDOG: engine stalled >{args.stall_timeout}s; "
+              f"restarting at iteration {last_iter}", flush=True)
     wall = time.time() - t0
 
     # per-pass wall: "======== iteration I ..." headers + batch prints
@@ -134,6 +169,8 @@ def run_engine(args) -> dict:
     out = {"rc": rc, "wall_s": round(wall, 1),
            "peak_rss_gb": round(peak_rss[0] / (1 << 20), 2),
            "passes": passes}
+    if restarts:
+        out["watchdog_restarts"] = restarts
     try:
         out["fusion_points"] = fusion_points
     except NameError:
@@ -174,6 +211,11 @@ def main():
     ap.add_argument("--scan_dir", default="/tmp/tat_scan")
     ap.add_argument("--skip_build", action="store_true",
                     help="reuse an existing scan dir")
+    ap.add_argument("--start_iteration", type=int, default=0,
+                    help="resume the engine at this pass index")
+    ap.add_argument("--stall_timeout", type=float, default=900.0,
+                    help="watchdog: kill+resume the engine if its log is "
+                         "silent this long (tunnel-wedge recovery)")
     args = ap.parse_args()
 
     report = {"config": vars(args).copy()}

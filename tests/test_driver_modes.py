@@ -85,3 +85,32 @@ def test_sa_mask_path(tmp_path):
     rel = np.abs(depth - gt)[ok] / gt[ok]
     assert np.median(rel) < 0.05
     assert (root / "APD" / "APD.ply").exists()
+
+
+def test_start_iteration_resumes_at_pass_boundary(tmp_path, capsys):
+    """--start_iteration skips completed passes and rebuilds state from the
+    per-view bins (coarse mid-scan recovery; the file interchange IS the
+    checkpoint — SURVEY §5.4). A scan interrupted after its photometric
+    pass and resumed at iteration 1 must produce a full-quality result."""
+    scene = synthetic.make_scene(num_views=3, height=48, width=64)
+    root = tmp_path / "scan"
+    synthetic.write_scene_to_disk(scene, root)
+    # phase 1: a full no-fuse run leaves per-view bins on disk (stand-in
+    # for a scan interrupted after some pass); phase 2 resumes at
+    # iteration 1, which must skip pass 0 and rebuild state from the bins
+    driver.run_scan(root, dataset="General", no_fuse=True, use_sa=False,
+                    use_memory_cache=False, start_iteration=0,
+                    pyramid_base=64)
+    d0 = binmat.read_bin_mat(root / "APD" / "00000000" / "depths.bin")
+    driver.run_scan(root, dataset="General", use_sa=False,
+                    use_memory_cache=False, start_iteration=1,
+                    pyramid_base=64)
+    out = capsys.readouterr().out
+    assert "iteration 0 skipped (resume from 1)" in out
+    d1 = binmat.read_bin_mat(root / "APD" / "00000000" / "depths.bin")
+    gt = scene.depths[0]
+    ok = (d1 > 0) & (gt > 0)
+    rel = np.abs(d1[ok] - gt[ok]) / gt[ok]
+    assert np.median(rel) < 0.01
+    assert (root / "APD" / "APD.ply").exists()
+    assert d0.shape == d1.shape

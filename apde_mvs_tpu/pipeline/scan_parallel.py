@@ -267,6 +267,14 @@ class ViewParallelRunner:
             prior_weak = np.full((ph, pw), UNKNOWN, np.int32)
             prior_conf = np.ones((ph, pw), np.float32)
             sa = np.zeros((ph, pw), np.int32)
+            if params.use_sa:
+                sa_path = problem.dense_folder / "sa_masks" / \
+                    (format_index(problem.ref_image_id) + ".bin")
+                if sa_path.exists():
+                    mat = read_bin_mat(sa_path, cache=self.cache)
+                    if mat.shape[:2] != (h, w):
+                        mat = resize_nearest(mat, (h, w))
+                    sa[:h, :w] = mat.astype(np.int32)
             if not first_init:
                 prior_depth[:] = self._tile_prior(problem, "depths.bin",
                                                   (h, w), (ph, pw))

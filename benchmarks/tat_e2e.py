@@ -162,6 +162,19 @@ def run_engine(args) -> dict:
                 fusion_points = int(m.group(1))
     if cur:
         passes.append(cur)
+    # a watchdog restart re-enters the wedged pass: merge fragments of the
+    # same iteration (batch times accumulate; the artifact reports total
+    # wall including redone work)
+    merged = {}
+    for p in passes:
+        key = p["iteration"]
+        if key in merged:
+            merged[key]["batch_ms"] += p["batch_ms"]
+            merged[key]["views_ms"] += p["views_ms"]
+            merged[key]["fragments"] = merged[key].get("fragments", 1) + 1
+        else:
+            merged[key] = p
+    passes = [merged[k] for k in sorted(merged)]
     for p in passes:
         p["wall_s"] = round(sum(p.pop("batch_ms") or p["views_ms"]) / 1000, 1)
         vm = p.pop("views_ms")

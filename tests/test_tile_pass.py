@@ -188,3 +188,38 @@ def test_tile_pass_apd_sharded_weak_quality_and_invariance(weak_scene):
 def test_tile_pass_apd_rejects_undivisible_cap(weak_scene):
     with pytest.raises(ValueError, match="divide over"):
         _apd_tile_run(weak_scene, 4, cap=2049)
+
+
+@pytest.mark.slow
+def test_tile_route_consumes_sa_masks(tmp_path):
+    """run_pass_tiled must feed sa_masks/<id>.bin into the pass (fidelity
+    gap found round 5: the tile route hardwired sa=0). Detection: with
+    identical seeds, a tiled scan's output must CHANGE when masks appear —
+    if the route ignored them, the two runs would be bitwise identical."""
+    from apde_mvs_tpu.io import binmat
+    from apde_mvs_tpu.pipeline import driver
+    scene2 = synthetic.make_scene(num_views=2, height=64, width=96,
+                                  baseline=0.4,
+                                  weak_region=(-0.3, 0.3, -0.2, 0.2))
+    outs = {}
+    for masks in (False, True):
+        root = tmp_path / ("scan_sa" if masks else "scan_plain")
+        synthetic.write_scene_to_disk(scene2, root)
+        if masks:
+            (root / "sa_masks").mkdir()
+            for v in range(2):
+                m = np.where(scene2.depths[v]
+                             < scene2.depths[v].mean() * 0.95, 1, 0)
+                binmat.write_bin_mat(root / "sa_masks" / f"{v:08d}.bin",
+                                     m.astype(np.uint8))
+        driver.run_scan(root, dataset="General", use_sa=True,
+                        weak_filter=False, seed=0, views_parallel=True,
+                        no_fuse=True)
+        outs[masks] = binmat.read_bin_mat(
+            root / "APD" / "00000000" / "depths.bin")
+        gt = scene2.depths[0]
+        ok = (outs[masks] > 0) & (gt > 0)
+        rel = np.abs(outs[masks] - gt)[ok] / gt[ok]
+        assert np.median(rel) < 0.01, f"masks={masks}: {np.median(rel)}"
+    assert not np.array_equal(outs[False], outs[True]), \
+        "sa masks had no effect on the tiled pass"

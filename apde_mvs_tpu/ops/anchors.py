@@ -384,10 +384,20 @@ def neighbor_update(state: PMState, weak_x, weak_y, weak_valid,
 
 
 def ransac_fit_planes(key, data, state: PMState, weak_x, weak_y, weak_valid,
-                      anchors) -> jnp.ndarray:
+                      anchors, triplets=None) -> jnp.ndarray:
     """Per-iteration support-plane fit from a weak pixel's anchors
     (reference: RANSACToGetFitPlane, APD.cu:2486-2598). Runs on camera-frame
-    planes; returns (Nw, 4) fit planes (zeros when no fit)."""
+    planes; returns (Nw, 4) fit planes (zeros when no fit).
+
+    Note a deliberately unreproduced reference branch: with <3 anchors the
+    reference emits the CURRENT plane instead of zeros (APD.cu:2525-2528),
+    which lets the weak refinement ladder run its random probes. That
+    branch is dead in practice — every surviving WEAK pixel carries >=6
+    anchors (GenAnchors requires >=6 inliers and NeigbourUpdate demotes
+    the rest) — so we keep the simpler all-or-zeros contract.
+
+    ``triplets``: injected (RANSAC_ITERS, Nw, 3) raw draws (testing seam,
+    see AnchorRaws); None draws from ``key`` as before."""
     h, w = state.weak.shape
     Nw = weak_x.shape[0]
     xf = weak_x.astype(jnp.float32)
@@ -412,9 +422,12 @@ def ransac_fit_planes(key, data, state: PMState, weak_x, weak_y, weak_valid,
 
     def body(i, carry):
         best_cost, best_plane, has, k = carry
-        k, kd = jax.random.split(k)
-        r = jax.random.randint(kd, (Nw, 3), 0, 1 << 30) \
-            % jnp.maximum(count, 1)[:, None]
+        if triplets is None:
+            k, kd = jax.random.split(k)
+            r = jax.random.randint(kd, (Nw, 3), 0, 1 << 30) \
+                % jnp.maximum(count, 1)[:, None]
+        else:
+            r = triplets[i] % jnp.maximum(count, 1)[:, None]
         a = nth_valid(r[:, 0])
         b = nth_valid(r[:, 1])
         c = nth_valid(r[:, 2])
@@ -442,7 +455,7 @@ def ransac_fit_planes(key, data, state: PMState, weak_x, weak_y, weak_valid,
 
     init = (jnp.full((Nw,), jnp.inf), jnp.zeros((Nw, 4)),
             jnp.zeros((Nw,), bool), key)
-    _, best_plane, has, _ = jax.lax.fori_loop(0, 50, body, init)
+    _, best_plane, has, _ = jax.lax.fori_loop(0, RANSAC_ITERS, body, init)
 
     # flip toward the camera (reference: APD.cu:2582-2594)
     depth = geo.depth_from_plane(cam, fetch(state.planes, weak_x, weak_y),

@@ -279,6 +279,86 @@ def run_gen_anchors_oracle(
     return out
 
 
+def depth_from_plane(cam, plane, x, y):
+    """ComputeDepthfromPlaneHypothesis (APD.cu:237-240), f32 chain."""
+    nx, ny, nz, w = (f32(plane[0]), f32(plane[1]), f32(plane[2]),
+                     f32(plane[3]))
+    denom = (f32(x) - f32(cam["cx"])) * nx \
+        + (f32(cam["fx"]) / f32(cam["fy"])) * (f32(y) - f32(cam["cy"])) * ny \
+        + f32(cam["fx"]) * nz
+    return f32(-w * f32(cam["fx"]) / denom)
+
+
+def run_fit_plane_oracle(px_x: int, px_y: int, anchors: np.ndarray,
+                         planes_map: np.ndarray, cam: dict,
+                         triplets: np.ndarray,
+                         # perturbation knobs (defaults = reference)
+                         exclude_abc_cost: bool = True,
+                         require_triangle: bool = True,
+                         flip_to_camera: bool = True):
+    """RANSACToGetFitPlane for ONE weak pixel (APD.cu:2486-2598).
+
+    anchors: (9, 2) int ([0] = self, unused); planes_map: (H, W, 4)
+    camera-frame plane hypotheses; triplets: (iters, 3) raw draws.
+    Returns (plane (4,) f32, has_plane bool) — zeros when no fit (the
+    reference's <3-anchors current-plane fallback is dead in practice,
+    see ops/anchors.ransac_fit_planes).
+
+    Encoded rules: anchor compaction in slot order, anchor depths via
+    ComputeDepthfromPlaneHypothesis at the anchor's own hypothesis,
+    distinct triplet + triangle containment + degenerate-cross rejection,
+    cost = sum of NON-triangle members' plane distances with strict-<
+    winner, normal flipped toward the camera through the center pixel's
+    current-depth view direction (APD.cu:2582-2594)."""
+    pts = []
+    coords = []
+    for i in range(1, anchors.shape[0]):
+        ax_, ay_ = int(anchors[i, 0]), int(anchors[i, 1])
+        if ax_ == -1 or ay_ == -1:
+            continue
+        d = depth_from_plane(cam, planes_map[ay_, ax_], ax_, ay_)
+        pts.append(_backproject(cam, f32(ax_), f32(ay_), d))
+        coords.append((ax_, ay_))
+    count = len(pts)
+    if count < 3:
+        return np.zeros(4, f32), False
+    pts = np.stack(pts)
+
+    best = None
+    for it in range(triplets.shape[0]):
+        a, b, c = (int(t) % count for t in triplets[it])
+        if a == b or b == c or a == c:
+            continue
+        if require_triangle and not point_in_triangle(
+                coords[a][0], coords[a][1], coords[b][0], coords[b][1],
+                coords[c][0], coords[c][1], px_x, px_y):
+            continue
+        A, B, C = pts[a], pts[b], pts[c]
+        n = _cross3(A - C, B - C)
+        norm = _sqrt32((n[0] * n[0] + n[1] * n[1]) + n[2] * n[2])
+        if norm == 0 or not np.isfinite(norm):
+            continue
+        n = n / np.maximum(norm, _EPS)
+        pw = -_dot3(n, A)
+        cost = f32(0.0)
+        for i in range(count):
+            if exclude_abc_cost and i in (a, b, c):
+                continue
+            cost = cost + np.abs(_dot3(n, pts[i]) + pw)
+        if best is None or cost < best[0]:
+            best = (cost, np.append(n, pw).astype(f32))
+    if best is None:
+        return np.zeros(4, f32), False
+    plane = best[1]
+    if flip_to_camera:
+        d = depth_from_plane(cam, planes_map[px_y, px_x], px_x, px_y)
+        X = _backproject(cam, f32(px_x), f32(px_y), d)
+        vd = X / np.linalg.norm(X)
+        if float(plane[0] * vd[0] + plane[1] * vd[1] + plane[2] * vd[2]) > 0:
+            plane = -plane
+    return plane, True
+
+
 def neighbor_update_oracle(weak: np.ndarray, reliable_map: dict) -> np.ndarray:
     """NeigbourUpdate (APD.cu:2084-2100): WEAK pixels whose anchor generation
     failed become UNKNOWN. reliable_map: {(x, y): bool} for weak pixels."""

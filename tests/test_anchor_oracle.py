@@ -251,3 +251,79 @@ def test_neighbor_update_demotes_unreliable(pinned):
         p["weak"], {(int(p["wx"][i]), int(p["wy"][i])): bool(p["reliable"][i])
                     for i in range(p["n"])})
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def fit_pinned(pinned):
+    """Production fit planes on the pinned scene's anchors, with injected
+    RANSAC draws shared with the oracle."""
+    p = pinned
+    rng = np.random.default_rng(21)
+    tri = rng.integers(0, 1 << 30, (RANSAC_ITERS, p["n"], 3)).astype(np.int32)
+
+    class Data:
+        ref_cam = geo.CameraArrays(
+            K=jnp.asarray([[p["cam"]["fx"], 0, p["cam"]["cx"]],
+                           [0, p["cam"]["fy"], p["cam"]["cy"]],
+                           [0, 0, 1.0]]),
+            R=jnp.eye(3), t=jnp.zeros(3), c=jnp.zeros(3))
+
+    planes = np.zeros((H, W, 4), np.float32)
+    planes[..., 3] = p["depth"]
+    planes[..., 2] = -1.0     # (0,0,-1,d): depth_from_plane returns d
+    state = PMState.create(H, W, 2).replace(
+        planes=jnp.asarray(planes), weak=jnp.asarray(p["weak"]))
+    fits = anchor_ops.ransac_fit_planes(
+        jax.random.PRNGKey(0), Data, state, jnp.asarray(p["wx"]),
+        jnp.asarray(p["wy"]), jnp.ones((p["n"],), bool),
+        jnp.asarray(p["anchors"]), triplets=jnp.asarray(tri))
+    return dict(planes_map=planes, tri=tri, fits=np.asarray(fits))
+
+
+def _fit_oracle_pixel(p, fp, i, **kw):
+    return oracle.run_fit_plane_oracle(
+        int(p["wx"][i]), int(p["wy"][i]), p["anchors"][i],
+        fp["planes_map"], p["cam"], fp["tri"][:, i], **kw)
+
+
+def test_fit_plane_oracle_matches_production(pinned, fit_pinned):
+    """RANSACToGetFitPlane second encoding: has-plane flags exact, plane
+    coefficients to tight tolerance (winner ties between vertex
+    permutations of one triangle converge after the camera flip)."""
+    p, fp = pinned, fit_pinned
+    n_has = 0
+    for i in range(p["n"]):
+        plane_o, has_o = _fit_oracle_pixel(p, fp, i)
+        has_p = bool(np.any(fp["fits"][i, :3] != 0))
+        assert has_o == has_p, f"pixel {i}: has {has_o} vs {has_p}"
+        if has_o:
+            np.testing.assert_allclose(
+                fp["fits"][i], plane_o, rtol=2e-4, atol=2e-4,
+                err_msg=f"pixel {i} ({p['wx'][i]},{p['wy'][i]})")
+            n_has += 1
+    assert n_has > 0, "no pixel produced a fit plane — vacuous"
+    # pixels without anchors (unreliable) must yield zeros on both sides
+    assert n_has < p["n"], "every pixel fit — the no-fit path is untested"
+
+
+# NOTE the exclude-abc-from-cost rule (APD.cu:2569-2571) has no testable
+# knob: triangle members lie on their own plane, so including their
+# distances changes the cost by ulps — a production regression there would
+# be behavior-invisible by construction (same class as the abc-boost
+# removal in the GenAnchors suite). The distinct-triplet check is likewise
+# shadowed by the degenerate-cross rejection (a==b makes the cross zero).
+@pytest.mark.parametrize("knob, kw", [
+    ("require_triangle", {"require_triangle": False}),
+    ("flip_to_camera", {"flip_to_camera": False}),
+])
+def test_fit_plane_detection_power(pinned, fit_pinned, knob, kw):
+    p, fp = pinned, fit_pinned
+    for i in range(p["n"]):
+        plane_o, has_o = _fit_oracle_pixel(p, fp, i, **kw)
+        has_p = bool(np.any(fp["fits"][i, :3] != 0))
+        if has_o != has_p:
+            return
+        if has_o and not np.allclose(fp["fits"][i], plane_o, rtol=2e-4,
+                                     atol=2e-4):
+            return
+    pytest.fail(f"perturbing {knob} changed nothing — no detection power")

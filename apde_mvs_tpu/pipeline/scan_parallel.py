@@ -182,8 +182,17 @@ class ViewParallelRunner:
             vb = min(vb, cap) if vb else cap
         if not vb or vb >= len(self.problems):
             return [self.problems]
-        return [self.problems[i:i + vb]
-                for i in range(0, len(self.problems), vb)]
+        batches = [self.problems[i:i + vb]
+                   for i in range(0, len(self.problems), vb)]
+        # pad the ragged tail batch to the uniform size (duplicate the last
+        # problem; duplicate outputs are dedup-skipped at persist). A
+        # 120-view scan at vb=7 otherwise compiles a SECOND program family
+        # for its 1-view tail — each fresh shape costs tens of minutes
+        # through the remote tunnel (PERF_NOTES r4 compile caveat).
+        if len(batches) > 1 and len(batches[-1]) < vb:
+            tail = batches[-1]
+            batches[-1] = tail + [tail[-1]] * (vb - len(tail))
+        return batches
 
     def _round_data(self, spec: cfg.PassSpec, batch: List[Problem]
                     ) -> _RoundData:
@@ -486,6 +495,15 @@ class ViewParallelRunner:
         conf = np.asarray(outs.confidence)
         pm_ms = (time.time() - t0) * 1000
 
+        # dedupe tail-batch padding (duplicated problems share a ref id;
+        # persist the first occurrence only)
+        keep = []
+        seen = set()
+        for i in range(V):
+            if problems[i].ref_image_id not in seen:
+                seen.add(problems[i].ref_image_id)
+                keep.append(i)
+
         def persist_one(i):
             p = problems[i]
             persist_view_results(
@@ -494,10 +512,10 @@ class ViewParallelRunner:
                 np.clip(conf[i, :rd.h, :rd.w], 0, 255).astype(np.uint8),
                 float(rd.dmin[i]), float(rd.dmax[i]), geom_or_apd,
                 self.cache, show_medium_result=spec.show_medium_result)
-            p.used_time_ms += pm_ms / V
+            p.used_time_ms += pm_ms / len(keep)
 
         with ThreadPoolExecutor(max_workers=8) as pool:
-            list(pool.map(persist_one, range(V)))
+            list(pool.map(persist_one, keep))
         print(f"Processed {V} views iter {spec.iteration} on "
               f"{mesh.devices.size} device(s): {pm_ms:.0f} ms "
               f"({pm_ms / V:.0f} ms/view)", flush=True)

@@ -365,12 +365,27 @@ def banded_view_tables(data: CostData, origins) -> CostData:
                                           origins, (data.num_src,))))
 
 
+import os as _os
+
+# Base-only banding (round 5, default ON after the span-stats measurement):
+# the bounds pre-pass covers only the 9 possible winners (8 checkerboard
+# candidates + current) and the body runs ALL 5 refinement probes on the
+# plain full-table gather. The two anchored refinement variants blow the
+# band for a large fraction of chunks (entry-state fit at 2^16 chunks:
+# 40-43% base vs 26-30% full — benchmarks/strong_span_stats.json), and
+# excluding them also cuts the pre-pass plane set 3x. APDE_BAND_REFINE=1
+# restores the round-4 behavior (refine slots 3/4 banded) for A/Bs.
+BAND_REFINE_SLOTS = _os.environ.get("APDE_BAND_REFINE", "0") == "1"
+
+
 def strong_chunk_planes(data: CostData, state, kr, x, y,
-                        depth_min, depth_max, row_bounds=None):
+                        depth_min, depth_max, row_bounds=None,
+                        include_refine: bool = True):
     """The exact plane/validity set the banded `_strong_body` gathers for
     one chunk: 8 checkerboard candidates + current (9 possible winners) +
-    the 2 anchored refinement variants of each winner from the SAME raw
-    draws. Returns (planes (B, 27, 4), valid (B, 27))."""
+    (with ``include_refine``) the 2 anchored refinement variants of each
+    winner from the SAME raw draws. Returns (planes (B, 27 or 9, 4),
+    valid (B, 27 or 9))."""
     from .propagation import checkerboard_candidates, refinement_from_raws, \
         refinement_raws
     from ..core.sampling import fetch
@@ -384,6 +399,8 @@ def strong_chunk_planes(data: CostData, state, kr, x, y,
     base = jnp.concatenate([cand_planes, cur_plane[:, None]], axis=1)
     tr = jnp.ones_like(flags[:, :1])
     base_valid = jnp.concatenate([flags, tr], axis=1)
+    if not include_refine:
+        return base, base_valid
     raws = refinement_raws(kr, x.shape)
     variants = [base]
     valids = [base_valid]
@@ -402,7 +419,8 @@ def strong_chunk_planes(data: CostData, state, kr, x, y,
 
 def strong_chunk_bounds(data: CostData, state, kr, x, y,
                         depth_min, depth_max, max_extent: int,
-                        row_bounds=None) -> BandBounds:
+                        row_bounds=None,
+                        include_refine: bool = True) -> BandBounds:
     """Single-chunk variant of strong_sweep_bounds (origin (S,), fits
     scalar): the host drivers dispatch one small pre-pass program per chunk
     — a one-program-per-sweep scan over all chunks wedged the remote TPU
@@ -411,7 +429,8 @@ def strong_chunk_bounds(data: CostData, state, kr, x, y,
     have run for hours without incident). `kr` is the chunk's already-folded
     refinement key."""
     allp, allv = strong_chunk_planes(data, state, kr, x, y,
-                                     depth_min, depth_max, row_bounds)
+                                     depth_min, depth_max, row_bounds,
+                                     include_refine=include_refine)
     bb = strong_bounds(data, x.astype(jnp.float32), y.astype(jnp.float32),
                        allp, max_extent, union=True, valid=allv)
     return BandBounds(origin=bb.origin, fits=jnp.all(bb.fits))

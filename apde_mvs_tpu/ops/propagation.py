@@ -238,7 +238,7 @@ def _run_chunked(body, k_sel, k_ref, arrays, n, chunk=None):
 
 def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
                  k_sel, k_ref, x, y, depth_min, depth_max, geom_factor,
-                 row_bounds, view_origins=None):
+                 row_bounds, view_origins=None, band_refine: bool = True):
     """Candidate evaluation + view selection + refinement for one flat batch
     of same-color pixels. Returns (planes_out, costs_out, sel_new, vw).
 
@@ -360,7 +360,11 @@ def _strong_body(data: CostData, state: PMState, cfg: PropCfg, iteration,
     r_depths, r_normals = refinement_hypotheses(
         k_ref, cam, xf, yf, plane_cur, depth_cur, depth_min, depth_max)
 
-    if view_origins is None:
+    if view_origins is None or not band_refine:
+        # plain path — and the base-only-banded path (bands.BAND_REFINE_SLOTS
+        # off): every refinement probe gathers the full table; the bounds
+        # pre-pass then only had to cover candidates + current, which fits
+        # far more chunks (benchmarks/strong_span_stats.json)
         def refine_cost(i, _):
             plane_i = geo.make_plane(cam, xf, yf, r_depths[:, i],
                                      r_normals[:, i])
@@ -536,24 +540,26 @@ def _strong_chunk_jit(cfg: PropCfg):
 
 
 @_functools.lru_cache(maxsize=32)
-def _strong_chunk_banded_jit(cfg: PropCfg):
+def _strong_chunk_banded_jit(cfg: PropCfg, band_refine: bool = True):
     def f(data, state, iteration, ks, kr, xc, yc, origins, depth_min,
           depth_max, geom_factor):
         return _strong_body(data, state, cfg, iteration, ks, kr, xc, yc,
                             depth_min, depth_max, geom_factor, None,
-                            view_origins=origins)
+                            view_origins=origins, band_refine=band_refine)
     return jax.jit(f)
 
 
 @_functools.lru_cache(maxsize=32)
-def _strong_prepass_jit(cfg: PropCfg, max_extent: int):
+def _strong_prepass_jit(cfg: PropCfg, max_extent: int,
+                        include_refine: bool = True):
     """ONE chunk's band bounds per program (a one-program-per-sweep scan
     over all chunks wedged the remote worker mid-pass; see
     bands.strong_chunk_bounds)."""
     def f(data, state, kr, x, y, depth_min, depth_max):
         from .bands import strong_chunk_bounds
         return strong_chunk_bounds(data, state, kr, x, y,
-                                   depth_min, depth_max, max_extent)
+                                   depth_min, depth_max, max_extent,
+                                   include_refine=include_refine)
     return jax.jit(f)
 
 
@@ -623,9 +629,10 @@ def propagate_strong_host(data: CostData, state: PMState, cfg: PropCfg,
     from ..core.sampling import static_bands_enabled
     fits_np = None
     if enable_bands and static_bands_enabled(data.src_quads):
-        from .bands import sweep_extent
+        from .bands import BAND_REFINE_SLOTS, sweep_extent
         prepass = _strong_prepass_jit(
-            cfg, sweep_extent(cfg.strong_radius, cfg.use_sa))
+            cfg, sweep_extent(cfg.strong_radius, cfg.use_sa),
+            include_refine=BAND_REFINE_SLOTS)
         bbs = []
         for ci in range(nc):
             sl = slice(ci * chunk, (ci + 1) * chunk)
@@ -635,7 +642,8 @@ def propagate_strong_host(data: CostData, state: PMState, cfg: PropCfg,
             _throttle(bbs, site="strong-prepass")
         fits_np = np.asarray(jnp.stack([b.fits for b in bbs]))
         origins = jnp.stack([b.origin for b in bbs])
-        banded_body = _strong_chunk_banded_jit(cfg)
+        banded_body = _strong_chunk_banded_jit(
+            cfg, band_refine=BAND_REFINE_SLOTS)
         BAND_DISPATCH_STATS["strong"][0] += int(fits_np.sum())
         BAND_DISPATCH_STATS["strong"][1] += int(nc - fits_np.sum())
 

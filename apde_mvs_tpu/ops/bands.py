@@ -378,6 +378,12 @@ import os as _os
 BAND_REFINE_SLOTS = _os.environ.get("APDE_BAND_REFINE", "0") == "1"
 
 
+def set_band_refine(on: bool) -> None:
+    """Runtime override (A/B probes); affects dispatches made after."""
+    global BAND_REFINE_SLOTS
+    BAND_REFINE_SLOTS = on
+
+
 def strong_chunk_planes(data: CostData, state, kr, x, y,
                         depth_min, depth_max, row_bounds=None,
                         include_refine: bool = True):

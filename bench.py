@@ -36,22 +36,43 @@ import time
 import numpy as np
 
 
-def full_pass_section():
-    """Runs both committed full-pass regimes; returns {regime: [pass dicts]}."""
+def full_pass_section(timeout_s: float = 2400.0):
+    """Runs both committed full-pass regimes; returns {regime: [pass dicts]}.
+
+    Each regime runs in a SUBPROCESS under a timeout: the remote tunnel
+    occasionally drops a client stream mid-pass (CLAUDE.md), which would
+    otherwise hang this process forever — the driver's round-end bench
+    record must always terminate with a parseable final line. A timed-out
+    or failed regime contributes an "error" entry instead of numbers."""
     import os
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "benchmarks"))
-    os.environ.setdefault("APDE_STAGE_TIMING", "1")
-    import fullres_stress
+    import re
+    import subprocess
+    root = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env.setdefault("APDE_STAGE_TIMING", "1")
     results = {}
     for w, h in ((800, 608), (1280, 960)):
         regime = f"{w}x{h}x11"
         print(json.dumps({"full_pass_regime": regime}), flush=True)
-        n0 = len(fullres_stress.RESULTS)
-        sys.argv = ["fullres_stress", "--width", str(w), "--height", str(h),
-                    "--views", "11"]
-        fullres_stress.main()
-        results[regime] = fullres_stress.RESULTS[n0:]
+        cmd = [sys.executable,
+               os.path.join(root, "benchmarks", "fullres_stress.py"),
+               "--width", str(w), "--height", str(h), "--views", "11"]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=timeout_s, env=env, cwd=root)
+            out = proc.stdout
+            passes = [json.loads(m) for m in re.findall(
+                r'^\{"pass".*\}$', out, re.M)]
+            for p in passes:
+                print(json.dumps(p), flush=True)
+            results[regime] = passes if proc.returncode == 0 or passes \
+                else [{"pass": "error", "error": f"rc={proc.returncode}",
+                       "tail": (proc.stderr or out)[-300:]}]
+        except subprocess.TimeoutExpired:
+            results[regime] = [{"pass": "error",
+                                "error": f"timeout>{timeout_s:.0f}s "
+                                         "(tunnel stream drop suspected)"}]
+            print(json.dumps(results[regime][0]), flush=True)
     return results
 
 
@@ -144,9 +165,10 @@ def main():
     print(json.dumps(record), flush=True)
     if "--headline-only" not in sys.argv:
         record["full_pass"] = {
-            regime: {p["pass"]: {
-                "wall_s": p["wall_s"],
-                "median_rel_depth_err_pct": p["median_rel_depth_err_pct"]}
+            regime: {p["pass"]: (
+                {"wall_s": p["wall_s"],
+                 "median_rel_depth_err_pct": p["median_rel_depth_err_pct"]}
+                if "wall_s" in p else p)
                 for p in passes}
             for regime, passes in full_pass_section().items()}
         print(json.dumps(record), flush=True)
